@@ -1,0 +1,274 @@
+"""Batched Montgomery field arithmetic on TPU (JAX, uint32 lanes).
+
+TPU-native equivalent of the reference's `halo2curves` field backends
+(SURVEY.md §2.2 D-CURVE). Design (SURVEY.md §7.1): a field element is a
+little-endian vector of 16 x 16-bit limbs held in uint32 lanes, batched over
+arbitrary leading axes. All hot ops are branchless and shape-static so they
+compose under jit / scan / shard_map.
+
+Why radix 2^16 with uint32 accumulators: a 16x16-bit product is < 2^32 and
+the CIOS accumulation bound (2^16-1)^2 + 2*(2^16-1) = 2^32 - 1 fits a uint32
+exactly, so Montgomery multiplication (CIOS) runs entirely in native 32-bit
+VPU lanes — TPUs have no 64-bit integer datapath (SURVEY.md §7.4 item 1).
+
+Layout convention: packed form is `uint32[..., 16]`, limb-minor (the limb
+axis last, contiguous in lanes). Internally ops unpack to a Python list of
+16 `uint32[...]` arrays so XLA sees pure elementwise chains it can fuse.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import LIMB_BITS, LIMB_MASK, NUM_LIMBS, FieldParams, int_to_limbs
+
+L = NUM_LIMBS
+W = LIMB_BITS
+MASK = jnp.uint32(LIMB_MASK)
+
+
+# --- packing ---------------------------------------------------------------
+
+def unpack(x: jax.Array) -> list[jax.Array]:
+    """uint32[..., L] -> list of L uint32[...] limb arrays."""
+    return [x[..., i] for i in range(L)]
+
+
+def pack(limbs: Sequence[jax.Array]) -> jax.Array:
+    """list of L uint32[...] -> uint32[..., L]."""
+    return jnp.stack(list(limbs), axis=-1)
+
+
+def const_limbs(value: int, params: FieldParams | None = None) -> np.ndarray:
+    """Host-side packed constant (standard form unless caller converts)."""
+    return int_to_limbs(value)
+
+
+# --- per-field constant tables (host, cached) ------------------------------
+
+@functools.cache
+def _np_p(params: FieldParams) -> np.ndarray:
+    return params.p_limbs.astype(np.uint32)
+
+
+@functools.cache
+def _np_r2(params: FieldParams) -> np.ndarray:
+    return int_to_limbs(params.r2).astype(np.uint32)
+
+
+@functools.cache
+def _np_one_mont(params: FieldParams) -> np.ndarray:
+    return int_to_limbs(params.r_mod_p).astype(np.uint32)
+
+
+# --- carry / borrow chains -------------------------------------------------
+
+def _carry_add(a: list[jax.Array], b: list[jax.Array]) -> tuple[list[jax.Array], jax.Array]:
+    """(a + b) limbwise with full carry propagation. Returns (limbs, carry_out)."""
+    out = []
+    c = jnp.zeros_like(a[0])
+    for i in range(L):
+        s = a[i] + b[i] + c
+        out.append(s & MASK)
+        c = s >> W
+    return out, c
+
+
+def _borrow_sub(a: list[jax.Array], b: list[jax.Array]) -> tuple[list[jax.Array], jax.Array]:
+    """(a - b) limbwise. Returns (limbs, borrow_out) with borrow in {0,1}."""
+    out = []
+    bw = jnp.zeros_like(a[0])
+    for i in range(L):
+        # a_i - b_i - bw computed in uint32 with wraparound; borrow = top bit test
+        d = a[i] - b[i] - bw
+        out.append(d & MASK)
+        bw = (d >> W) & jnp.uint32(1)  # wraparound puts 0xffff in high half
+    return out, bw
+
+
+def _select(cond: jax.Array, a: list[jax.Array], b: list[jax.Array]) -> list[jax.Array]:
+    """Per-element limb select: cond ? a : b (cond is bool[...])."""
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+def _cond_sub_p(t: list[jax.Array], overflow: jax.Array, p: list[jax.Array]) -> list[jax.Array]:
+    """Reduce t (< 2p, plus an overflow bit) into [0, p)."""
+    diff, bw = _borrow_sub(t, p)
+    need = jnp.logical_or(overflow.astype(jnp.uint32) > 0, bw == 0)
+    return _select(need, diff, t)
+
+
+# --- public batched ops ----------------------------------------------------
+
+@partial(jax.jit, static_argnums=0)
+def add(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a + b) mod p, packed Montgomery or standard form (form-agnostic)."""
+    al, bl = unpack(a), unpack(b)
+    p = [jnp.uint32(int(x)) for x in _np_p(params)]
+    s, c = _carry_add(al, bl)
+    return pack(_cond_sub_p(s, c, p))
+
+
+@partial(jax.jit, static_argnums=0)
+def sub(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a - b) mod p."""
+    al, bl = unpack(a), unpack(b)
+    p = [jnp.uint32(int(x)) for x in _np_p(params)]
+    d, bw = _borrow_sub(al, bl)
+    dp, _ = _carry_add(d, p)
+    return pack(_select(bw > 0, dp, d))
+
+
+@partial(jax.jit, static_argnums=0)
+def neg(params: FieldParams, a: jax.Array) -> jax.Array:
+    """(-a) mod p (maps 0 -> 0)."""
+    zero = jnp.zeros_like(a)
+    is_zero = jnp.all(a == 0, axis=-1)
+    p_arr = jnp.asarray(_np_p(params))
+    p_b = jnp.broadcast_to(p_arr, a.shape)
+    d = sub(params, p_b, a)
+    return jnp.where(is_zero[..., None], zero, d)
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product a*b*R^-1 mod p. Lazy-carry CIOS, radix 2^16.
+
+    Replaces the scalar Montgomery mul inside halo2curves with a batched
+    VPU-lane version. Carries are left unpropagated across the 16 CIOS
+    rounds (limbs stay < 2^22 < 2^32, and the REDC multiplier m only needs
+    the state mod 2^16, which unpropagated limbs still give exactly); a
+    single carry sweep at the end canonicalises. The round loop is a
+    lax.scan so the traced program stays tiny under jit.
+    """
+    n = jnp.asarray(_np_p(params))  # (L,)
+    n0inv = jnp.uint32(params.n0inv)
+    a_l = jnp.moveaxis(a, -1, 0)  # (L, ...) scan over multiplier limbs
+
+    t0 = jnp.zeros(b.shape, jnp.uint32)
+    zcol = jnp.zeros_like(t0[..., :1])
+
+    def round_(t, a_i):
+        p = a_i[..., None] * b  # (..., L) full 16x16 products in uint32
+        plo = p & MASK
+        phi = p >> W
+        u0 = t[..., 0] + plo[..., 0]
+        m = (u0 * n0inv) & MASK  # wraparound mult is exact mod 2^16
+        q = m[..., None] * n
+        qlo = q & MASK
+        qhi = q >> W
+        c0 = (u0 + qlo[..., 0]) >> W  # low limb is ≡ 0 mod 2^16 by REDC
+        lo_sum = plo + qlo
+        # After dividing by 2^16: t'[j] = t[j+1] + lo_sum[j+1] + (phi+qhi)[j]
+        t_new = (
+            jnp.concatenate([t[..., 1:] + lo_sum[..., 1:], zcol], -1)
+            + phi
+            + qhi
+        )
+        t_new = t_new.at[..., 0].add(c0)
+        return t_new, None
+
+    t, _ = jax.lax.scan(round_, t0, a_l)
+
+    # Carry sweep: limbs < 2^22 -> canonical 16-bit limbs + overflow bit.
+    out = []
+    c = jnp.zeros_like(t[..., 0])
+    for j in range(L):
+        v = t[..., j] + c
+        out.append(v & MASK)
+        c = v >> W
+    n_list = [jnp.uint32(int(x)) for x in _np_p(params)]
+    return pack(_cond_sub_p(out, c, n_list))
+
+
+def mont_sqr(params: FieldParams, a: jax.Array) -> jax.Array:
+    return mont_mul(params, a, a)
+
+
+def to_mont(params: FieldParams, a: jax.Array) -> jax.Array:
+    r2 = jnp.broadcast_to(jnp.asarray(_np_r2(params)), a.shape)
+    return mont_mul(params, a, r2)
+
+
+def from_mont(params: FieldParams, a: jax.Array) -> jax.Array:
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return mont_mul(params, a, one)
+
+
+def one_mont(params: FieldParams, shape=()) -> jax.Array:
+    return jnp.broadcast_to(jnp.asarray(_np_one_mont(params)), (*shape, L))
+
+
+def zero(shape=()) -> jax.Array:
+    return jnp.zeros((*shape, L), dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def mont_pow(params: FieldParams, a: jax.Array, e: int) -> jax.Array:
+    """a^e in Montgomery form, fixed public exponent, via lax.scan over bits.
+
+    Used for batched inversion (e = p-2) and square roots; the scan keeps the
+    traced program small (2 mont_muls) regardless of exponent size.
+    """
+    nbits = max(e.bit_length(), 1)
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+    acc0 = one_mont(params, a.shape[:-1])
+
+    # left-to-right: process bits from MSB
+    def step(acc, bit):
+        acc = mont_sqr(params, acc)
+        with_mul = mont_mul(params, acc, a)
+        acc = jnp.where(bit > 0, with_mul, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, bits[::-1])
+    return acc
+
+
+def mont_inv(params: FieldParams, a: jax.Array) -> jax.Array:
+    """Batched inversion via Fermat (a^(p-2)); maps 0 -> 0."""
+    return mont_pow(params, a, params.p - 2)
+
+
+def is_zero(a: jax.Array) -> jax.Array:
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """cond ? a : b with cond shaped like the batch (no limb axis)."""
+    return jnp.where(cond[..., None], a, b)
+
+
+# --- host <-> device conversion -------------------------------------------
+
+def encode_ints(params: FieldParams, values, to_montgomery: bool = True) -> jax.Array:
+    """Host list/array of python ints -> packed device array (Montgomery)."""
+    vals = [int(v) % params.p for v in values]
+    arr = np.stack([int_to_limbs(v) for v in vals]).astype(np.uint32)
+    x = jnp.asarray(arr)
+    return to_mont(params, x) if to_montgomery else x
+
+
+def decode_ints(params: FieldParams, x: jax.Array, from_montgomery: bool = True) -> list[int]:
+    """Packed device array (..., L) -> flat list of python ints."""
+    if from_montgomery:
+        x = from_mont(params, x)
+    arr = np.asarray(jax.device_get(x)).astype(np.uint64)
+    flat = arr.reshape(-1, L)
+    out = []
+    for row in flat:
+        v = 0
+        for i in range(L - 1, -1, -1):
+            v = (v << W) | int(row[i])
+        out.append(v)
+    return out
