@@ -1,0 +1,51 @@
+"""NTT differential tests vs naive host DFT (python bigints)."""
+
+import random
+
+import pytest
+
+from zkdcap_tpu.fields import BN254_FR, mont
+from zkdcap_tpu.ntt import Domain, intt, ntt
+
+RNG = random.Random(7)
+P = BN254_FR.p
+
+
+def naive_dft(coeffs, w, p):
+    n = len(coeffs)
+    return [sum(coeffs[j] * pow(w, i * j, p) for j in range(n)) % p for i in range(n)]
+
+
+@pytest.mark.parametrize("log_n", [1, 3, 5])
+def test_ntt_matches_naive(log_n):
+    n = 1 << log_n
+    coeffs = [RNG.randrange(P) for _ in range(n)]
+    w = BN254_FR.nth_root_of_unity(log_n)
+    expect = naive_dft(coeffs, w, P)
+    got = mont.decode_ints(BN254_FR, ntt(BN254_FR, mont.encode_ints(BN254_FR, coeffs)))
+    assert got == expect
+
+
+@pytest.mark.parametrize("log_n", [4, 8])
+def test_roundtrip(log_n):
+    n = 1 << log_n
+    coeffs = [RNG.randrange(P) for _ in range(n)]
+    x = mont.encode_ints(BN254_FR, coeffs)
+    back = mont.decode_ints(BN254_FR, intt(BN254_FR, ntt(BN254_FR, x)))
+    assert back == coeffs
+
+
+def test_extended_coset():
+    k, ek = 3, 5
+    d = Domain(BN254_FR, k, ek)
+    coeffs = [RNG.randrange(P) for _ in range(1 << k)]
+    x = mont.encode_ints(BN254_FR, coeffs)
+    ext = mont.decode_ints(BN254_FR, d.coeff_to_extended(x))
+    # direct evaluation at g * w_ext^i
+    for i in [0, 1, 5, 31]:
+        pt = d.g_coset * pow(d.extended_omega, i, P) % P
+        expect = sum(c * pow(pt, j, P) for j, c in enumerate(coeffs)) % P
+        assert ext[i] == expect
+    # roundtrip
+    back = mont.decode_ints(BN254_FR, d.extended_to_coeff(d.coeff_to_extended(x)))
+    assert back == coeffs + [0] * ((1 << ek) - (1 << k))

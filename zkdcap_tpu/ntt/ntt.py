@@ -1,0 +1,173 @@
+"""Radix-2 NTT over BN254 Fr on TPU.
+
+TPU-native replacement for halo2's EvaluationDomain FFT (SURVEY.md §2.3:
+"rayon parallel NTT ... radix-2 butterflies, bit-reversal" inside
+halo2_proofs; invoked by create_proof for quotient/extended-domain work,
+`circuits/src/sgx_dcap_verifier.rs:814-822`).
+
+Design: one jitted program per size. The stage loop is a `lax.fori_loop`
+whose body does three gathers (lo element, hi element, twiddle) plus one
+batched Montgomery multiply — shapes stay (n, L) for every stage so the
+traced program is tiny. Twiddle tables are built on device by repeated
+doubling (log n batched multiplies) and cached per (field, size, direction).
+
+The multi-chip version (all-to-all stage exchange over a mesh) lives in
+`zkdcap_tpu/parallel/sharded_ntt.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import mont
+from ..fields.params import NUM_LIMBS, FieldParams, int_to_limbs
+
+
+@functools.cache
+def bit_reverse_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@functools.cache
+def twiddle_table(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
+    """Device table [w^0, w^1, ..., w^(n/2 - 1)] in Montgomery form.
+
+    Built by doubling: T_{k+1} = [T_k, T_k * w^(2^k)], so only log n batched
+    multiplies run on device instead of n sequential host muls.
+    """
+    p = params.p
+    w = params.nth_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, p)
+    tab = mont.encode_ints(params, [1])
+    step = w
+    for k in range(log_n - 1):
+        shift = mont.encode_ints(params, [step])
+        shift_b = jnp.broadcast_to(shift, tab.shape)
+        tab = jnp.concatenate([tab, mont.mont_mul(params, tab, shift_b)], axis=0)
+        step = step * step % p
+    return tab
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _ntt_impl(params: FieldParams, a: jax.Array, tw: jax.Array, log_n: int) -> jax.Array:
+    n = 1 << log_n
+    perm = jnp.asarray(bit_reverse_perm(log_n))
+    a = jnp.take(a, perm, axis=0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(s, acc):
+        half = jnp.left_shift(jnp.int32(1), s)
+        j = idx & (half - 1)
+        lo_idx = idx & ~half
+        hi_idx = idx | half
+        stride = jnp.right_shift(jnp.int32(n), s + 1)
+        tw_idx = j * stride
+        t = mont.mont_mul(params, jnp.take(acc, hi_idx, axis=0), jnp.take(tw, tw_idx, axis=0))
+        lo = jnp.take(acc, lo_idx, axis=0)
+        plus = mont.add(params, lo, t)
+        minus = mont.sub(params, lo, t)
+        is_hi = (idx & half) != 0
+        return jnp.where(is_hi[:, None], minus, plus)
+
+    return jax.lax.fori_loop(0, log_n, stage, a)
+
+
+def ntt(params: FieldParams, a: jax.Array) -> jax.Array:
+    """Forward NTT: coefficients (natural order) -> evaluations at w^i."""
+    n = a.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, "NTT size must be a power of two"
+    if n == 1:
+        return a
+    return _ntt_impl(params, a, twiddle_table(params, log_n, False), log_n)
+
+
+@functools.cache
+def _n_inv_mont(params: FieldParams, log_n: int) -> jax.Array:
+    return mont.encode_ints(params, [pow(1 << log_n, -1, params.p)])
+
+
+def intt(params: FieldParams, a: jax.Array) -> jax.Array:
+    """Inverse NTT: evaluations -> coefficients (natural order)."""
+    n = a.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if n == 1:
+        return a
+    out = _ntt_impl(params, a, twiddle_table(params, log_n, True), log_n)
+    ninv = jnp.broadcast_to(_n_inv_mont(params, log_n), out.shape)
+    return mont.mont_mul(params, out, ninv)
+
+
+@functools.cache
+def power_table(params: FieldParams, base: int, n: int) -> jax.Array:
+    """Device table [base^0 .. base^(n-1)] (Montgomery), doubling-built."""
+    log_n = max((n - 1).bit_length(), 1)
+    p = params.p
+    tab = mont.encode_ints(params, [1])
+    step = base % p
+    for _ in range(log_n):
+        shift = mont.encode_ints(params, [step])
+        shift_b = jnp.broadcast_to(shift, tab.shape)
+        tab = jnp.concatenate([tab, mont.mont_mul(params, tab, shift_b)], axis=0)
+        step = step * step % p
+    return tab[:n]
+
+
+class Domain:
+    """Evaluation domain over a 2-adic field (halo2 EvaluationDomain analog).
+
+    Handles the three polynomial bases the PLONK prover moves between:
+    coefficient form, Lagrange form on H = <omega> (|H| = 2^k), and Lagrange
+    form on the extended coset g*H' (|H'| = 2^(k + extended_k_delta)) used
+    for quotient evaluation.
+    """
+
+    def __init__(self, params: FieldParams, k: int, extended_k: int | None = None):
+        self.params = params
+        self.k = k
+        self.n = 1 << k
+        self.extended_k = extended_k if extended_k is not None else k
+        self.extended_n = 1 << self.extended_k
+        p = params.p
+        self.omega = params.nth_root_of_unity(k)
+        self.omega_inv = pow(self.omega, -1, p)
+        self.extended_omega = params.nth_root_of_unity(self.extended_k)
+        # Coset generator: the field's multiplicative generator (zeta in halo2).
+        self.g_coset = params.generator
+        self.g_coset_inv = pow(self.g_coset, -1, p)
+
+    def coeff_to_lagrange(self, a: jax.Array) -> jax.Array:
+        return ntt(self.params, a)
+
+    def lagrange_to_coeff(self, a: jax.Array) -> jax.Array:
+        return intt(self.params, a)
+
+    def coeff_to_extended(self, a: jax.Array) -> jax.Array:
+        """Evaluate coeffs on the extended coset g*H'. Input len n, output len extended_n."""
+        pad = self.extended_n - a.shape[0]
+        if pad > 0:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)], axis=0
+            )
+        # scale coefficient i by g^i, then plain NTT on the extended domain
+        powers = power_table(self.params, self.g_coset, self.extended_n)
+        a = mont.mont_mul(self.params, a, powers)
+        return ntt(self.params, a)
+
+    def extended_to_coeff(self, a: jax.Array) -> jax.Array:
+        """Inverse of coeff_to_extended; returns extended_n coefficients."""
+        a = intt(self.params, a)
+        powers = power_table(self.params, self.g_coset_inv, self.extended_n)
+        return mont.mont_mul(self.params, a, powers)
