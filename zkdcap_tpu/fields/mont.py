@@ -69,39 +69,46 @@ def _np_one_mont(params: FieldParams) -> np.ndarray:
 
 # --- carry / borrow chains -------------------------------------------------
 
-def _carry_add(a: list[jax.Array], b: list[jax.Array]) -> tuple[list[jax.Array], jax.Array]:
-    """(a + b) limbwise with full carry propagation. Returns (limbs, carry_out)."""
-    out = []
-    c = jnp.zeros_like(a[0])
-    for i in range(L):
-        s = a[i] + b[i] + c
-        out.append(s & MASK)
-        c = s >> W
-    return out, c
+def _carry_sweep(s: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Canonicalise packed limbs (each < 2^32) -> 16-bit limbs + carry_out.
+
+    lax.scan over the limb axis keeps the traced program at ~4 ops
+    regardless of limb count (trace size matters: see mont_mul docstring).
+    """
+    s_l = jnp.moveaxis(s, -1, 0)
+
+    def body(c, s_i):
+        v = s_i + c
+        return v >> W, v & MASK
+
+    c, out = jax.lax.scan(body, jnp.zeros_like(s[..., 0]), s_l)
+    return jnp.moveaxis(out, 0, -1), c
 
 
-def _borrow_sub(a: list[jax.Array], b: list[jax.Array]) -> tuple[list[jax.Array], jax.Array]:
-    """(a - b) limbwise. Returns (limbs, borrow_out) with borrow in {0,1}."""
-    out = []
-    bw = jnp.zeros_like(a[0])
-    for i in range(L):
-        # a_i - b_i - bw computed in uint32 with wraparound; borrow = top bit test
-        d = a[i] - b[i] - bw
-        out.append(d & MASK)
-        bw = (d >> W) & jnp.uint32(1)  # wraparound puts 0xffff in high half
-    return out, bw
+def _carry_add(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(a + b) packed limbwise with carry propagation -> (packed, carry_out)."""
+    return _carry_sweep(a + b)
 
 
-def _select(cond: jax.Array, a: list[jax.Array], b: list[jax.Array]) -> list[jax.Array]:
-    """Per-element limb select: cond ? a : b (cond is bool[...])."""
-    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+def _borrow_sub(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(a - b) packed limbwise -> (packed, borrow_out in {0,1})."""
+    a_l = jnp.moveaxis(a, -1, 0)
+    b_l = jnp.moveaxis(b, -1, 0)
+
+    def body(bw, ab):
+        ai, bi = ab
+        d = ai - bi - bw
+        return (d >> W) & jnp.uint32(1), d & MASK
+
+    bw, out = jax.lax.scan(body, jnp.zeros_like(a[..., 0]), (a_l, b_l))
+    return jnp.moveaxis(out, 0, -1), bw
 
 
-def _cond_sub_p(t: list[jax.Array], overflow: jax.Array, p: list[jax.Array]) -> list[jax.Array]:
-    """Reduce t (< 2p, plus an overflow bit) into [0, p)."""
-    diff, bw = _borrow_sub(t, p)
-    need = jnp.logical_or(overflow.astype(jnp.uint32) > 0, bw == 0)
-    return _select(need, diff, t)
+def _cond_sub_p(t: jax.Array, overflow: jax.Array, p: jax.Array) -> jax.Array:
+    """Reduce packed t (< 2p, plus an overflow bit) into [0, p)."""
+    diff, bw = _borrow_sub(t, jnp.broadcast_to(p, t.shape))
+    need = jnp.logical_or(overflow > 0, bw == 0)
+    return jnp.where(need[..., None], diff, t)
 
 
 # --- public batched ops ----------------------------------------------------
@@ -109,20 +116,18 @@ def _cond_sub_p(t: list[jax.Array], overflow: jax.Array, p: list[jax.Array]) -> 
 @partial(jax.jit, static_argnums=0)
 def add(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
     """(a + b) mod p, packed Montgomery or standard form (form-agnostic)."""
-    al, bl = unpack(a), unpack(b)
-    p = [jnp.uint32(int(x)) for x in _np_p(params)]
-    s, c = _carry_add(al, bl)
-    return pack(_cond_sub_p(s, c, p))
+    p = jnp.asarray(_np_p(params))
+    s, c = _carry_add(a, b)
+    return _cond_sub_p(s, c, p)
 
 
 @partial(jax.jit, static_argnums=0)
 def sub(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
     """(a - b) mod p."""
-    al, bl = unpack(a), unpack(b)
-    p = [jnp.uint32(int(x)) for x in _np_p(params)]
-    d, bw = _borrow_sub(al, bl)
-    dp, _ = _carry_add(d, p)
-    return pack(_select(bw > 0, dp, d))
+    p = jnp.asarray(_np_p(params))
+    d, bw = _borrow_sub(a, b)
+    dp, _ = _carry_add(d, jnp.broadcast_to(p, d.shape))
+    return jnp.where((bw > 0)[..., None], dp, d)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -177,14 +182,8 @@ def mont_mul(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
     t, _ = jax.lax.scan(round_, t0, a_l)
 
     # Carry sweep: limbs < 2^22 -> canonical 16-bit limbs + overflow bit.
-    out = []
-    c = jnp.zeros_like(t[..., 0])
-    for j in range(L):
-        v = t[..., j] + c
-        out.append(v & MASK)
-        c = v >> W
-    n_list = [jnp.uint32(int(x)) for x in _np_p(params)]
-    return pack(_cond_sub_p(out, c, n_list))
+    out, c = _carry_sweep(t)
+    return _cond_sub_p(out, c, n)
 
 
 def mont_sqr(params: FieldParams, a: jax.Array) -> jax.Array:
