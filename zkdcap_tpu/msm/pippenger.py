@@ -1,0 +1,225 @@
+"""Pippenger multi-scalar multiplication on TPU.
+
+TPU-native replacement for halo2's rayon Pippenger (SURVEY.md §2.3 row 1:
+"bucket accumulation via sort/segment-sum (no scatter)"). This is THE hot
+op of the prover: every polynomial commitment is one MSM
+(`create_proof` steps 2-5/8, SURVEY.md §3.1).
+
+Algorithm (per 8-bit window, 32 windows for 256-bit scalars):
+  1. sort point indices by bucket digit (XLA bitonic sort — no scatter),
+  2. lane-chunked segmented reduction: the sorted stream is split into G
+     lanes of M points; each lane runs a sequential segmented scan (M
+     steps of one G-wide complete EC add) — O(N) EC-add work, M deep,
+  3. per-run partial sums (<= 255 digit runs + G lane tails) are compacted
+     with top_k and combined by a log-depth segmented Hillis–Steele scan,
+  4. bucket totals land in a dense 256-entry table via unique-index scatter,
+  5. classic suffix-sum bucket aggregation (S += B_d; T += S), vectorised
+     across all 32 windows, then a Horner window join (8 doublings/window).
+
+Digit-0 points and encoded infinities are mapped to the projective identity
+(0:1:0), which the complete formulas absorb — no control flow anywhere.
+
+The multi-chip shard (points sharded across the mesh, per-window bucket
+sums reduced with psum-style tree adds) lives in
+`zkdcap_tpu/parallel/sharded_msm.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..curves.device_g1 import (
+    CurveSpec,
+    G1_SPEC,
+    affine_to_projective,
+    decode_points,
+    ec_add,
+    ec_double,
+    ec_inf,
+    ec_select,
+)
+from ..fields import BN254_FR, mont
+from ..fields.params import NUM_LIMBS
+
+WINDOW_BITS = 8
+NUM_WINDOWS = 32  # 256-bit scalars
+NUM_BUCKETS = 1 << WINDOW_BITS
+L = NUM_LIMBS
+
+
+def _digits(scalars_std: jax.Array) -> jax.Array:
+    """uint32[N, 16] standard-form limbs -> int32[32, N] 8-bit window digits."""
+    outs = []
+    for w in range(NUM_WINDOWS):
+        limb = scalars_std[:, w // 2]
+        outs.append(((limb >> (8 * (w % 2))) & jnp.uint32(0xFF)).astype(jnp.int32))
+    return jnp.stack(outs)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes: int):
+    """points: uint32[N,2,L] Montgomery affine ((0,0)=inf); scalars_std:
+    uint32[N,16] standard form. N must be a multiple of `lanes`.
+    Returns a single projective Point."""
+    f = spec.field
+    N = points.shape[0]
+    G = lanes
+    M = N // G
+    assert G * M == N
+    K = min(N, G + NUM_BUCKETS)  # upper bound on per-window run partials
+
+    digits = _digits(scalars_std)  # (32, N)
+    Px, Py = points[:, 0], points[:, 1]
+    pt_is_inf = jnp.logical_and(mont.is_zero(Px), mont.is_zero(Py))  # (N,)
+
+    idxN = jnp.arange(N, dtype=jnp.int32)
+    idxK = jnp.arange(K, dtype=jnp.int32)
+
+    def window_fn(d_w):
+        order = jnp.argsort(d_w)
+        d = jnp.take(d_w, order)
+        X = jnp.take(Px, order, axis=0)
+        Y = jnp.take(Py, order, axis=0)
+        valid = jnp.logical_and(d != 0, jnp.logical_not(jnp.take(pt_is_inf, order)))
+        one = mont.one_mont(f, (N,))
+        Xp = jnp.where(valid[:, None], X, 0)
+        Yp = jnp.where(valid[:, None], Y, one)
+        Zp = jnp.where(valid[:, None], one, 0)
+
+        Xl = Xp.reshape(G, M, L)
+        Yl = Yp.reshape(G, M, L)
+        Zl = Zp.reshape(G, M, L)
+        dl = d.reshape(G, M)
+
+        # -- stage 2: per-lane sequential segmented scan ------------------
+        outX0 = jnp.zeros((G, M, L), jnp.uint32)
+        acc0 = ec_inf(spec, (G,))
+
+        def step(j, carry):
+            (aX, aY, aZ), (oX, oY, oZ) = carry
+            Pj = (
+                jax.lax.dynamic_index_in_dim(Xl, j, 1, keepdims=False),
+                jax.lax.dynamic_index_in_dim(Yl, j, 1, keepdims=False),
+                jax.lax.dynamic_index_in_dim(Zl, j, 1, keepdims=False),
+            )
+            dj = jax.lax.dynamic_index_in_dim(dl, j, 1, keepdims=False)
+            dprev = jax.lax.dynamic_index_in_dim(dl, jnp.maximum(j - 1, 0), 1, keepdims=False)
+            same = jnp.logical_and(j > 0, dj == dprev)
+            s = ec_add(spec, (aX, aY, aZ), Pj)
+            new = ec_select(same, s, Pj)
+            oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 1)
+            oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 1)
+            oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 1)
+            return (new, (oX, oY, oZ))
+
+        _, (oX, oY, oZ) = jax.lax.fori_loop(
+            0, M, step, (acc0, (outX0, outX0, outX0))
+        )
+        sX = oX.reshape(N, L)
+        sY = oY.reshape(N, L)
+        sZ = oZ.reshape(N, L)
+
+        # -- stage 3: compact run partials, log-depth combine --------------
+        is_lane_end = (idxN % M) == (M - 1)
+        d_next = jnp.concatenate([d[1:], jnp.full((1,), -1, jnp.int32)])
+        is_end = jnp.logical_or(is_lane_end, d != d_next)
+        key = jnp.where(is_end, idxN, -1)
+        top_keys, _ = jax.lax.top_k(key, K)  # descending position order
+        safe = jnp.maximum(top_keys, 0)
+        vd = jnp.take(d, safe)
+        vX = jnp.take(sX, safe, axis=0)
+        vY = jnp.take(sY, safe, axis=0)
+        vZ = jnp.take(sZ, safe, axis=0)
+        dead = jnp.logical_or(top_keys < 0, vd == 0)
+        vd = jnp.where(dead, 0, vd)
+        one_k = mont.one_mont(f, (K,))
+        vX = jnp.where(dead[:, None], 0, vX)
+        vY = jnp.where(dead[:, None], one_k, vY)
+        vZ = jnp.where(dead[:, None], 0, vZ)
+
+        n_levels = max((K - 1).bit_length(), 1)
+
+        def level(s, carry):
+            (cX, cY, cZ) = carry
+            shift = jnp.left_shift(jnp.int32(1), s)
+            prev = jnp.maximum(idxK - shift, 0)
+            pX = jnp.take(cX, prev, axis=0)
+            pY = jnp.take(cY, prev, axis=0)
+            pZ = jnp.take(cZ, prev, axis=0)
+            pd = jnp.take(vd, prev)
+            ok = jnp.logical_and(idxK >= shift, pd == vd)
+            ok = jnp.logical_and(ok, vd != 0)
+            summed = ec_add(spec, (cX, cY, cZ), (pX, pY, pZ))
+            return ec_select(ok, summed, (cX, cY, cZ))
+
+        cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (vX, vY, vZ))
+
+        # -- stage 4: deposit group totals into dense buckets --------------
+        vd_next = jnp.concatenate([vd[1:], jnp.full((1,), -1, jnp.int32)])
+        is_last = vd != vd_next
+        slot = jnp.where(jnp.logical_and(is_last, vd > 0), vd, NUM_BUCKETS)
+        bX = jnp.zeros((NUM_BUCKETS + 1, L), jnp.uint32).at[slot].set(cX)[:NUM_BUCKETS]
+        bY = jnp.concatenate(
+            [jnp.broadcast_to(mont.one_mont(f, (NUM_BUCKETS,)), (NUM_BUCKETS, L)),
+             jnp.zeros((1, L), jnp.uint32)], axis=0
+        ).at[slot].set(cY)[:NUM_BUCKETS]
+        bZ = jnp.zeros((NUM_BUCKETS + 1, L), jnp.uint32).at[slot].set(cZ)[:NUM_BUCKETS]
+        return bX, bY, bZ
+
+    bX, bY, bZ = jax.lax.map(window_fn, digits)  # (32, 256, L) each
+
+    # -- stage 5: suffix-sum aggregation across buckets, all windows at once
+    S0 = ec_inf(spec, (NUM_WINDOWS,))
+    T0 = ec_inf(spec, (NUM_WINDOWS,))
+
+    def agg(i, carry):
+        S, T = carry
+        dig = NUM_BUCKETS - 1 - i
+        Bd = (
+            jax.lax.dynamic_index_in_dim(bX, dig, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(bY, dig, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(bZ, dig, 1, keepdims=False),
+        )
+        S = ec_add(spec, S, Bd)
+        T = ec_add(spec, T, S)
+        return (S, T)
+
+    _, T = jax.lax.fori_loop(0, NUM_BUCKETS - 1, agg, (S0, T0))
+
+    # -- window join: R = sum_w 2^(8w) T_w, Horner from the top window ----
+    R0 = tuple(t[NUM_WINDOWS - 1] for t in T)
+
+    def join(i, R):
+        w = NUM_WINDOWS - 2 - i
+        R = jax.lax.fori_loop(0, WINDOW_BITS, lambda _, Q: ec_double(spec, Q), R)
+        Tw = tuple(jax.lax.dynamic_index_in_dim(t, w, 0, keepdims=False) for t in T)
+        return ec_add(spec, R, Tw)
+
+    return jax.lax.fori_loop(0, NUM_WINDOWS - 1, join, R0)
+
+
+def msm(points: jax.Array, scalars_mont: jax.Array, spec: CurveSpec = G1_SPEC):
+    """Full MSM: device points (N,2,L) x Montgomery Fr scalars (N,16).
+
+    Pads to a lane-friendly size and returns the projective result Point.
+    """
+    N = points.shape[0]
+    scalars_std = mont.from_mont(BN254_FR, scalars_mont)
+    n_pow = 1 << max((N - 1).bit_length(), 0) if N > 1 else 1
+    lanes = min(8192, n_pow)
+    pad = n_pow - N
+    if pad:
+        points = jnp.concatenate([points, jnp.zeros((pad, 2, L), jnp.uint32)], axis=0)
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((pad, L), jnp.uint32)], axis=0
+        )
+    return msm_device(spec, points, scalars_std, lanes)
+
+
+def msm_host(points: jax.Array, scalars_mont: jax.Array, spec: CurveSpec = G1_SPEC):
+    """MSM returning a host affine point (or None)."""
+    R = msm(points, scalars_mont, spec)
+    return decode_points(spec, tuple(r[None] for r in R))[0]
