@@ -38,25 +38,38 @@ def bit_reverse_perm(log_n: int) -> np.ndarray:
     return rev
 
 
-@functools.cache
-def twiddle_table(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
-    """Device table [w^0, w^1, ..., w^(n/2 - 1)] in Montgomery form.
-
-    Built by doubling: T_{k+1} = [T_k, T_k * w^(2^k)], so only log n batched
-    multiplies run on device instead of n sequential host muls.
-    """
-    p = params.p
-    w = params.nth_root_of_unity(log_n)
-    if inverse:
-        w = pow(w, -1, p)
-    tab = mont.encode_ints(params, [1])
-    step = w
-    for k in range(log_n - 1):
-        shift = mont.encode_ints(params, [step])
+@partial(jax.jit, static_argnums=(0, 1))
+def _doubling_table_impl(params: FieldParams, shifts_mont: tuple[tuple[int, ...], ...]) -> jax.Array:
+    """[1, w, w^2, ...] of length 2^len(shifts) built by repeated doubling
+    T_{k+1} = [T_k, T_k * w^(2^k)] inside ONE jitted program (one compile).
+    shifts_mont[k] = limbs of w^(2^k) in Montgomery form (static constant)."""
+    tab = mont.one_mont(params, (1,))
+    for limbs in shifts_mont:
+        shift = jnp.asarray(np.asarray(limbs, dtype=np.uint32))
         shift_b = jnp.broadcast_to(shift, tab.shape)
         tab = jnp.concatenate([tab, mont.mont_mul(params, tab, shift_b)], axis=0)
-        step = step * step % p
     return tab
+
+
+def _doubling_table(params: FieldParams, base: int, log_len: int) -> jax.Array:
+    from ..fields.params import R
+
+    p = params.p
+    shifts = []
+    step = base % p
+    for _ in range(log_len):
+        shifts.append(tuple(int(v) for v in int_to_limbs(step * R % p)))
+        step = step * step % p
+    return _doubling_table_impl(params, tuple(shifts))
+
+
+@functools.cache
+def twiddle_table(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
+    """Device table [w^0, w^1, ..., w^(n/2 - 1)] in Montgomery form."""
+    w = params.nth_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, params.p)
+    return _doubling_table(params, w, max(log_n - 1, 0))
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -114,15 +127,7 @@ def intt(params: FieldParams, a: jax.Array) -> jax.Array:
 def power_table(params: FieldParams, base: int, n: int) -> jax.Array:
     """Device table [base^0 .. base^(n-1)] (Montgomery), doubling-built."""
     log_n = max((n - 1).bit_length(), 1)
-    p = params.p
-    tab = mont.encode_ints(params, [1])
-    step = base % p
-    for _ in range(log_n):
-        shift = mont.encode_ints(params, [step])
-        shift_b = jnp.broadcast_to(shift, tab.shape)
-        tab = jnp.concatenate([tab, mont.mont_mul(params, tab, shift_b)], axis=0)
-        step = step * step % p
-    return tab[:n]
+    return _doubling_table(params, base, log_n)[:n]
 
 
 class Domain:
