@@ -90,7 +90,21 @@ def bench_ntt(log_n: int, iters: int = 3) -> float:
     return best
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--msm-log-n", type=int, default=20)
     ap.add_argument("--ntt-log-n", type=int, default=22)

@@ -1,0 +1,103 @@
+"""MockProver: constraint satisfiability checker (no commitments).
+
+Equivalent of halo2's MockProver (the reference's only "simulator",
+`circuits/src/sgx_dcap_verifier.rs:790-794`, SURVEY.md §4): evaluates every
+gate poly on every row (batched on device), checks lookups by multiset
+membership and copy constraints by value equality, and reports the first
+failures with row/constraint coordinates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields import BN254_FR, mont
+from .cs import ConstraintSystem
+from .expression import Evaluator
+
+R = BN254_FR.p
+
+
+@dataclasses.dataclass
+class Failure:
+    kind: str
+    detail: str
+
+    def __repr__(self):
+        return f"[{self.kind}] {self.detail}"
+
+
+class MockProver:
+    def __init__(
+        self,
+        k: int,
+        cs: ConstraintSystem,
+        fixed: list[list[int]],
+        advice: list[list[int]],
+        instance: list[list[int]] | None = None,
+    ):
+        self.k = k
+        self.n = 1 << k
+        self.cs = cs
+        pad = lambda col: list(col) + [0] * (self.n - len(col))
+        self.fixed = [pad(c) for c in fixed]
+        self.advice = [pad(c) for c in advice]
+        self.instance = [pad(c) for c in (instance or [[]] * cs.num_instance)]
+
+    def verify(self, max_failures: int = 10) -> list[Failure]:
+        failures: list[Failure] = []
+        n = self.n
+        u = self.cs.usable_rows(n)
+        f_dev = [mont.encode_ints(BN254_FR, c) for c in self.fixed]
+        a_dev = [mont.encode_ints(BN254_FR, c) for c in self.advice]
+        i_dev = [mont.encode_ints(BN254_FR, c) for c in self.instance]
+        ev = Evaluator(f_dev, a_dev, i_dev)
+
+        for g in self.cs.gates:
+            for pi, poly in enumerate(g.polys):
+                vals = np.asarray(mont.from_mont(BN254_FR, ev.eval(poly)))
+                bad = np.nonzero(vals.any(axis=-1))[0]
+                for row in bad[:max_failures]:
+                    failures.append(
+                        Failure("gate", f"{g.name}[{pi}] not satisfied at row {row}")
+                    )
+                if len(failures) >= max_failures:
+                    return failures
+
+        for lk in self.cs.lookups:
+            inputs = [
+                mont.decode_ints(BN254_FR, ev.eval(e)) for e in lk.inputs
+            ]
+            tables = [
+                mont.decode_ints(BN254_FR, ev.eval(e)) for e in lk.tables
+            ]
+            table_set = set(zip(*[t[:u] for t in tables])) if tables[0] else set()
+            for row in range(u):
+                tup = tuple(col[row] for col in inputs)
+                if tup not in table_set:
+                    failures.append(
+                        Failure("lookup", f"{lk.name}: row {row} input {tup} not in table")
+                    )
+                    if len(failures) >= max_failures:
+                        return failures
+
+        cols = {"fixed": self.fixed, "advice": self.advice, "instance": self.instance}
+        for (ca, ra), (cb, rb) in self.cs.copies:
+            va = cols[ca.kind][ca.index][ra]
+            vb = cols[cb.kind][cb.index][rb]
+            if va % R != vb % R:
+                failures.append(
+                    Failure(
+                        "copy",
+                        f"({ca.kind}{ca.index},{ra})={va} != ({cb.kind}{cb.index},{rb})={vb}",
+                    )
+                )
+                if len(failures) >= max_failures:
+                    return failures
+        return failures
+
+    def assert_satisfied(self):
+        failures = self.verify()
+        assert not failures, f"{len(failures)}+ failures: {failures[:5]}"
