@@ -1,0 +1,116 @@
+"""FlexGate / RangeChip eDSL -> compiled circuit -> MockProver checks."""
+
+import pytest
+
+from zkdcap_tpu.chips import CircuitBuilder, Context, FlexGate, RangeChip
+from zkdcap_tpu.fields import BN254_FR
+from zkdcap_tpu.plonk.mock import MockProver
+
+R = BN254_FR.p
+K = 9  # lookup table of 2^8 fits
+
+
+def run_mock(ctx: Context, lookup_bits=8):
+    builder = CircuitBuilder(K, lookup_bits=lookup_bits)
+    compiled = builder.compile(ctx)
+    advice = builder.witness_columns(compiled, ctx)
+    inst = builder.instance_values(ctx)
+    mp = MockProver(K, compiled.cs, compiled.fixed_values, advice, inst)
+    return mp, compiled, builder
+
+
+def test_gate_ops():
+    ctx = Context()
+    g = FlexGate(ctx)
+    a = g.witness(7)
+    b = g.witness(11)
+    c = g.add(a, b)
+    assert ctx.value(c) == 18
+    d = g.mul(c, b)
+    assert ctx.value(d) == 198
+    e = g.sub(d, a)
+    assert ctx.value(e) == 191
+    f = g.inner_product([a, b, c], [a, a, b])
+    assert ctx.value(f) == (49 + 77 + 198) % R
+    s = g.select(a, b, g.constant(1))
+    assert ctx.value(s) == 7
+    z = g.is_zero(g.sub(a, a))
+    assert ctx.value(z) == 1
+    nz = g.is_zero(a)
+    assert ctx.value(nz) == 0
+    g.assert_const(g.add_const(a, 3), 10)
+    mp, _, _ = run_mock(ctx)
+    mp.assert_satisfied()
+
+
+def test_gate_violation_detected():
+    ctx = Context()
+    g = FlexGate(ctx)
+    a = g.witness(7)
+    b = g.witness(11)
+    c = g.add(a, b)
+    # tamper: change result cell value after recording
+    ctx.cells[c] = 99
+    mp, _, _ = run_mock(ctx)
+    fails = mp.verify()
+    assert fails
+
+
+def test_range_chip():
+    ctx = Context()
+    g = FlexGate(ctx)
+    rc = RangeChip(g, 8)
+    a = g.witness(0xABCD)
+    rc.range_check(a, 16)
+    b = g.witness(0x3F)
+    rc.range_check(b, 6)
+    c = g.witness(100)
+    d = g.witness(200)
+    rc.check_less_than(c, d, 10)
+    lt = rc.is_less_than(d, c, 10)
+    assert ctx.value(lt) == 0
+    lt2 = rc.is_less_than(c, d, 10)
+    assert ctx.value(lt2) == 1
+    mp, _, _ = run_mock(ctx)
+    mp.assert_satisfied()
+
+
+def test_range_violation():
+    ctx = Context()
+    g = FlexGate(ctx)
+    rc = RangeChip(g, 8)
+    a = g.witness(300)
+    # lie: claim a < 2^8 by tampering post-hoc
+    try:
+        rc.range_check(a, 8)
+        tampered = False
+    except AssertionError:
+        # witness-gen guard fired; force the bad witness through
+        ctx.lookup_cells.append(a)
+        tampered = True
+    mp, _, _ = run_mock(ctx)
+    fails = mp.verify()
+    assert fails
+
+
+def test_public_instance():
+    ctx = Context()
+    g = FlexGate(ctx)
+    a = g.witness(42)
+    b = g.mul(a, a)
+    ctx.expose_public(b)
+    mp, compiled, builder = run_mock(ctx)
+    mp.assert_satisfied()
+    assert builder.instance_values(ctx) == [[1764]]
+
+
+def test_multi_column_break():
+    # force the tape across multiple columns with a small k
+    ctx = Context()
+    g = FlexGate(ctx)
+    acc = g.witness(1)
+    for i in range(2, 300):
+        acc = g.mul_const(acc, i % 13 + 1)
+    mp, compiled, _ = run_mock(ctx)
+    assert compiled.pinning.num_advice > 1
+    mp.assert_satisfied()

@@ -1,0 +1,212 @@
+"""Trace -> circuit compiler (halo2-base BaseCircuitBuilder equivalent).
+
+Lays a recorded `Context` tape out into PLONK columns:
+
+  * main tape -> N advice columns of height <= usable rows, with per-column
+    selector fixed columns and the vertical gate; column break points never
+    split a 4-cell gate window. The break points + shape are the "pinning"
+    (reference: `params/pinning.json` = (BaseCircuitParams,
+    MultiPhaseThreadBreakPoints), `crates/p256-ecdsa/src/base.rs:156-164`,
+    SURVEY.md §5.4) — keygen and prover must agree on them for the pk to
+    stay valid.
+  * range-lookup cells -> dedicated lookup-advice columns, every row of
+    which is constrained by one lookup argument against the range table
+    (halo2-base "vertical" RangeConfig, SURVEY.md §2.2 D-BASE2).
+  * constants -> one fixed column with copy constraints.
+  * public cells -> one instance column with copy constraints.
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+import json
+
+from ..fields import BN254_FR
+from ..plonk.cs import Column, ConstraintSystem
+from .context import Context
+
+R = BN254_FR.p
+
+
+@dataclasses.dataclass
+class Pinning:
+    k: int
+    lookup_bits: int
+    num_advice: int
+    num_lookup_advice: int
+    break_points: list[int]  # tape index where each advice column ends
+    num_cells: int
+    num_lookup_cells: int
+    num_instance: int
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "Pinning":
+        return Pinning(**json.loads(s))
+
+
+@dataclasses.dataclass
+class CompiledCircuit:
+    cs: ConstraintSystem
+    fixed_values: list[list[int]]
+    pinning: Pinning
+    # mapping helpers for witness fill
+    advice_of_cell: list[tuple[int, int]]  # cell -> (advice col, row)
+    lookup_of_cell: list[tuple[int, int]]  # lookup slot -> (lookup col, row)
+
+
+class CircuitBuilder:
+    def __init__(self, k: int, lookup_bits: int | None = None):
+        self.k = k
+        self.lookup_bits = lookup_bits
+
+    def compile(self, ctx: Context, pinning: Pinning | None = None) -> CompiledCircuit:
+        k = self.k
+        n = 1 << k
+        cs = ConstraintSystem()
+        u = cs.usable_rows(n)
+        num_cells = len(ctx.cells)
+
+        # --- break tape into advice columns -------------------------------
+        gate_sorted = sorted(ctx.gate_offsets)
+        breaks: list[int] = []
+        start = 0
+        while start < num_cells:
+            end = min(start + u, num_cells)
+            if end < num_cells:
+                # shrink end until no gate window [g, g+3] crosses it
+                while True:
+                    i = bisect.bisect_left(gate_sorted, end)
+                    crossing = False
+                    j = i - 1
+                    while j >= 0 and gate_sorted[j] > end - 4:
+                        if gate_sorted[j] + 3 >= end:
+                            crossing = True
+                            break
+                        j -= 1
+                    if not crossing:
+                        break
+                    end -= 1
+                    assert end > start, "cannot break tape without splitting a gate"
+            breaks.append(end)
+            start = end
+        num_advice = len(breaks) if num_cells else 1
+        if not breaks:
+            breaks = [0]
+
+        if pinning is not None:
+            assert pinning.break_points == breaks, "pinning mismatch: break points"
+            assert pinning.num_cells == num_cells, "pinning mismatch: cell count"
+
+        advice_of_cell: list[tuple[int, int]] = [None] * num_cells
+        col_start = 0
+        for ci, end in enumerate(breaks):
+            for cell in range(col_start, end):
+                advice_of_cell[cell] = (ci, cell - col_start)
+            col_start = end
+
+        # --- lookup advice columns ----------------------------------------
+        num_lookup_cells = len(ctx.lookup_cells)
+        num_lookup_advice = (num_lookup_cells + u - 1) // u if num_lookup_cells else 0
+        lookup_of_cell: list[tuple[int, int]] = []
+        for i in range(num_lookup_cells):
+            lookup_of_cell.append((i // u, i % u))
+
+        # --- columns -------------------------------------------------------
+        advice_cols = [cs.advice_column() for _ in range(num_advice)]
+        lookup_cols = [cs.advice_column() for _ in range(num_lookup_advice)]
+        selector_cols = [cs.fixed_column() for _ in range(num_advice)]
+        const_col = cs.fixed_column()
+        table_col = cs.fixed_column() if self.lookup_bits is not None else None
+        num_instance = 1 if ctx.instance_cells else 0
+        inst_col = cs.instance_column() if num_instance else None
+
+        # gates
+        for ci in range(num_advice):
+            a = advice_cols[ci]
+            q = selector_cols[ci]
+            cs.create_gate(
+                f"flex{ci}",
+                q.query() * (a.query(0) + a.query(1) * a.query(2) - a.query(3)),
+            )
+        # lookups
+        if table_col is not None:
+            for lc in lookup_cols:
+                cs.add_lookup("range", [lc.query()], [table_col.query()])
+
+        # --- fixed values --------------------------------------------------
+        selector_vals = [[0] * n for _ in range(num_advice)]
+        for g in ctx.gate_offsets:
+            ci, row = advice_of_cell[g]
+            selector_vals[ci][row] = 1
+
+        const_values: list[int] = []
+        const_row: dict[int, int] = {}
+        for _, v in ctx.constant_cells:
+            if v not in const_row:
+                const_row[v] = len(const_values)
+                const_values.append(v)
+        assert len(const_values) <= u, "too many distinct constants"
+        const_col_vals = const_values + [0] * (n - len(const_values))
+
+        fixed_values = selector_vals + [const_col_vals]
+        if table_col is not None:
+            tb = 1 << self.lookup_bits
+            assert tb + cs.blinding_factors + 1 <= n, "lookup table larger than domain"
+            fixed_values.append(list(range(tb)) + [0] * (n - tb))
+
+        # --- copies --------------------------------------------------------
+        def cell_pos(cell: int) -> tuple[Column, int]:
+            ci, row = advice_of_cell[cell]
+            return (advice_cols[ci], row)
+
+        for a, b in ctx.copies:
+            cs.copy(cell_pos(a), cell_pos(b))
+        for cell, v in ctx.constant_cells:
+            cs.copy(cell_pos(cell), (const_col, const_row[v]))
+        for slot, cell in enumerate(ctx.lookup_cells):
+            lci, lrow = lookup_of_cell[slot]
+            cs.copy(cell_pos(cell), (lookup_cols[lci], lrow))
+        for row, cell in enumerate(ctx.instance_cells):
+            assert row < u
+            cs.copy(cell_pos(cell), (inst_col, row))
+
+        pin = Pinning(
+            k=k,
+            lookup_bits=self.lookup_bits if self.lookup_bits is not None else -1,
+            num_advice=num_advice,
+            num_lookup_advice=num_lookup_advice,
+            break_points=breaks,
+            num_cells=num_cells,
+            num_lookup_cells=num_lookup_cells,
+            num_instance=num_instance,
+        )
+        return CompiledCircuit(
+            cs=cs,
+            fixed_values=fixed_values,
+            pinning=pin,
+            advice_of_cell=advice_of_cell,
+            lookup_of_cell=lookup_of_cell,
+        )
+
+    def witness_columns(self, compiled: CompiledCircuit, ctx: Context) -> list[list[int]]:
+        """Fill advice column values from a (structurally identical) trace."""
+        n = 1 << self.k
+        pin = compiled.pinning
+        assert len(ctx.cells) == pin.num_cells, "witness trace shape mismatch"
+        cols = [[0] * n for _ in range(pin.num_advice + pin.num_lookup_advice)]
+        for cell, v in enumerate(ctx.cells):
+            ci, row = compiled.advice_of_cell[cell]
+            cols[ci][row] = v
+        for slot, cell in enumerate(ctx.lookup_cells):
+            lci, lrow = compiled.lookup_of_cell[slot]
+            cols[pin.num_advice + lci][lrow] = ctx.cells[cell]
+        return cols
+
+    def instance_values(self, ctx: Context) -> list[list[int]]:
+        if not ctx.instance_cells:
+            return []
+        return [[ctx.cells[c] for c in ctx.instance_cells]]

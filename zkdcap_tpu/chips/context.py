@@ -1,0 +1,201 @@
+"""Gate eDSL context — halo2-base `Context` + FlexGate equivalent.
+
+Reference semantics (SURVEY.md §2.2 D-BASE2/D-BASE4): circuits are Python
+programs that push witness cells onto a flat tape while recording the
+constraint structure. The single "vertical" custom gate is
+
+    q[i] * (a[i] + a[i+1] * a[i+2] - a[i+3]) = 0
+
+so every arithmetic instruction lowers to a 4-cell window [a, b, c, a+b*c]
+plus copy constraints, exactly like halo2-base's FlexGateConfig
+(`crates/p256-ecdsa/src/circuit.rs:29,54` uses the same ops via GateChip).
+
+The recorded trace is deterministic: running the same circuit function
+twice yields the same structure (gate offsets, copies, constants), which is
+what makes the keygen layout / prover witness split ("pinning",
+`params/pinning.json` in the reference, SURVEY.md §5.4) sound.
+"""
+
+from __future__ import annotations
+
+from ..fields import BN254_FR
+
+R = BN254_FR.p
+
+
+class Context:
+    def __init__(self):
+        self.cells: list[int] = []  # witness values
+        self.gate_offsets: list[int] = []  # tape indices where q = 1
+        self.copies: list[tuple[int, int]] = []  # cell equality constraints
+        self.constant_cells: list[tuple[int, int]] = []  # (cell, constant value)
+        self.lookup_cells: list[int] = []  # cells to range-lookup (builder-wide bits)
+        self.instance_cells: list[int] = []  # cells exposed as public inputs
+
+    # --- tape primitives -------------------------------------------------
+
+    def push(self, value: int) -> int:
+        idx = len(self.cells)
+        self.cells.append(value % R)
+        return idx
+
+    def enable_gate(self, offset: int) -> None:
+        self.gate_offsets.append(offset)
+
+    def copy(self, a: int, b: int) -> None:
+        assert self.cells[a] == self.cells[b], (
+            f"copy of unequal cells {a}={self.cells[a]} {b}={self.cells[b]}"
+        )
+        self.copies.append((a, b))
+
+    def constant(self, value: int) -> int:
+        """Push a cell pinned to a constant (via copy to the const column)."""
+        idx = self.push(value)
+        self.constant_cells.append((idx, value % R))
+        return idx
+
+    def expose_public(self, cell: int) -> None:
+        self.instance_cells.append(cell)
+
+    def value(self, cell: int) -> int:
+        return self.cells[cell]
+
+
+class FlexGate:
+    """Arithmetic instructions lowering to the vertical gate.
+
+    Cell handles are plain ints (tape indices). Every method returns the
+    handle of its result cell.
+    """
+
+    def __init__(self, ctx: Context):
+        self.ctx = ctx
+
+    # -- raw window: a + b*c = out ----------------------------------------
+    def _window(self, a: int, b: int, c: int) -> int:
+        """Push [copy a][copy b][copy c][out] and enable the gate."""
+        ctx = self.ctx
+        va, vb, vc = ctx.value(a), ctx.value(b), ctx.value(c)
+        base = ctx.push(va)
+        ctx.copy(base, a)
+        i_b = ctx.push(vb)
+        ctx.copy(i_b, b)
+        i_c = ctx.push(vc)
+        ctx.copy(i_c, c)
+        out = ctx.push((va + vb * vc) % R)
+        ctx.enable_gate(base)
+        return out
+
+    def witness(self, value: int) -> int:
+        return self.ctx.push(value)
+
+    def constant(self, value: int) -> int:
+        return self.ctx.constant(value)
+
+    def add(self, a: int, b: int) -> int:
+        one = self.ctx.constant(1)
+        return self._window(a, b, one)
+
+    def sub(self, a: int, b: int) -> int:
+        """out = a - b, via constraint out + b*1 = a."""
+        ctx = self.ctx
+        va, vb = ctx.value(a), ctx.value(b)
+        out = ctx.push((va - vb) % R)
+        i_b = ctx.push(vb)
+        ctx.copy(i_b, b)
+        one = ctx.constant(1)
+        i_a = ctx.push(va)
+        ctx.copy(i_a, a)
+        ctx.enable_gate(out)
+        return out
+
+    def neg(self, a: int) -> int:
+        zero = self.ctx.constant(0)
+        return self.sub(zero, a)
+
+    def mul(self, a: int, b: int) -> int:
+        zero = self.ctx.constant(0)
+        return self._window(zero, a, b)
+
+    def mul_add(self, a: int, b: int, c: int) -> int:
+        """out = c + a*b."""
+        return self._window(c, a, b)
+
+    def mul_const(self, a: int, k: int) -> int:
+        kc = self.ctx.constant(k)
+        zero = self.ctx.constant(0)
+        return self._window(zero, a, kc)
+
+    def add_const(self, a: int, k: int) -> int:
+        kc = self.ctx.constant(k)
+        one = self.ctx.constant(1)
+        return self._window(a, kc, one)
+
+    def inner_product(self, a: list[int], b: list[int]) -> int:
+        assert len(a) == len(b) and a
+        acc = self.mul(a[0], b[0])
+        for x, y_ in zip(a[1:], b[1:]):
+            acc = self.mul_add(x, y_, acc)
+        return acc
+
+    def inner_product_const(self, a: list[int], consts: list[int]) -> int:
+        cc = [self.ctx.constant(c) for c in consts]
+        return self.inner_product(a, cc)
+
+    def sum_(self, xs: list[int]) -> int:
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = self.add(acc, x)
+        return acc
+
+    def select(self, a: int, b: int, sel: int) -> int:
+        """sel ? a : b (sel must be boolean-constrained)."""
+        d = self.sub(a, b)
+        return self.mul_add(sel, d, b)
+
+    def assert_bit(self, a: int) -> None:
+        """a * (a - 1) = 0 via a + a*am1... lower: am1 = a-1; prod = a*am1; prod == 0."""
+        am1 = self.add_const(a, R - 1)
+        prod = self.mul(a, am1)
+        self.assert_zero(prod)
+
+    def assert_zero(self, a: int) -> None:
+        zero = self.ctx.constant(0)
+        self.ctx.copy(a, zero)
+
+    def assert_equal(self, a: int, b: int) -> None:
+        self.ctx.copy(a, b)
+
+    def assert_const(self, a: int, k: int) -> None:
+        kc = self.ctx.constant(k)
+        self.ctx.copy(a, kc)
+
+    def is_zero(self, a: int) -> int:
+        """Returns boolean cell: 1 if a == 0 else 0 (standard inverse trick)."""
+        ctx = self.ctx
+        va = ctx.value(a)
+        inv = ctx.push(pow(va, -1, R) if va else 1)
+        out_val = 1 if va == 0 else 0
+        # out = 1 - a * inv ; a * out = 0
+        prod = self.mul(a, inv)
+        one = ctx.constant(1)
+        out = self.sub(one, prod)
+        chk = self.mul(a, out)
+        self.assert_zero(chk)
+        return out
+
+    def is_equal(self, a: int, b: int) -> int:
+        return self.is_zero(self.sub(a, b))
+
+    def or_(self, a: int, b: int) -> int:
+        """a + b - a*b for boolean cells."""
+        ab = self.mul(a, b)
+        s = self.add(a, b)
+        return self.sub(s, ab)
+
+    def and_(self, a: int, b: int) -> int:
+        return self.mul(a, b)
+
+    def not_(self, a: int) -> int:
+        one = self.ctx.constant(1)
+        return self.sub(one, a)
