@@ -1,0 +1,78 @@
+"""In-circuit ECDSA verification gadget (secp256r1).
+
+Semantics of halo2-ecc's `ecdsa_verify_no_pubkey_check::<F, Fp, Fq, Affine>
+(chip, ctx, pk, r, s, m, 4, 4)` (reference call sites
+`circuits/src/sgx_dcap_verifier.rs:701-710`, `crates/p256-ecdsa/src/circuit.rs:51`;
+SURVEY.md §2.2 D-ECC): checks 0 < r, s < n, computes w = s^-1,
+u1 = m*w, u2 = r*w, R = u1*G + u2*pk (Strauss window-4 multi-scalar mul) and
+constrains x(R) ≡ r (mod n). Pubkey on-curve checking is the caller's
+responsibility (hence "no_pubkey_check").
+
+Returns a cell that is constant 1 when all constraints hold — the caller
+asserts it like the reference (`gate.assert_is_const(ctx, &res, &Fr::one())`).
+"""
+
+from __future__ import annotations
+
+from ..curves.host_curve import SECP256R1
+from .bigint import LIMB_BASE, LIMB_BITS, NUM_LIMBS, BigIntChip, CRTInt, _split
+from .ecc import EccChip, EcPoint
+from .range import RangeChip
+
+
+def ecdsa_verify_no_pubkey_check(
+    ecc: EccChip,
+    fq: BigIntChip,
+    pk: EcPoint,
+    r: CRTInt,
+    s: CRTInt,
+    msghash: CRTInt,
+) -> int:
+    """All CRT ints over Fq = Z_n (n = secp256r1 group order); pk over Fp."""
+    curve = SECP256R1
+    g = ecc.fp.gate
+    assert fq.p == curve.n
+
+    # 0 < r, s < n (canonical-ness gives < n; enforce nonzero)
+    g.assert_const(fq.is_zero(r), 0)
+    g.assert_const(fq.is_zero(s), 0)
+
+    w = fq.inv(s)
+    u1 = fq.mul(msghash, w)
+    u2 = fq.mul(r, w)
+
+    G = ecc.load_constant(curve.g)
+    bits1 = ecc.scalar_bits(u1, fq)
+    bits2 = ecc.scalar_bits(u2, fq)
+    R_pt = ecc.msm_window4([G, pk], [bits1, bits2])
+
+    # x(R) ≡ r (mod n):  x = r + j*n with j in {0,1}
+    # (valid since x < p < 2n for P-256)
+    assert curve.p < 2 * curve.n
+    x_val = R_pt.x.value
+    j_val = 0 if x_val == r.value else 1
+    assert x_val == r.value + j_val * curve.n, "ecdsa witness: x(R) != r mod n"
+    ctx = g.ctx
+    j = ctx.push(j_val)
+    g.assert_bit(j)
+
+    # limb carry chain for x - r - j*n == 0 (mod 2^264) + native (mod r_bn)
+    n_limbs = _split(curve.n)
+    t_cells = []
+    t_ints = []
+    x_int = _split(x_val)
+    r_int = _split(r.value)
+    for k in range(NUM_LIMBS):
+        jn = g.mul_const(j, n_limbs[k])
+        term = g.sub(g.sub(R_pt.x.limbs[k], r.limbs[k]), jn)
+        t_cells.append(term)
+        t_ints.append(x_int[k] - r_int[k] - j_val * n_limbs[k])
+    ecc.fp._carry_chain(t_cells, t_ints)
+    from ..fields import BN254_FR
+
+    nat = g.sub(
+        g.sub(R_pt.x.native, r.native), g.mul_const(j, curve.n % BN254_FR.p)
+    )
+    g.assert_const(nat, 0)
+
+    return ctx.constant(1)
