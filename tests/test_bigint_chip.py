@@ -38,13 +38,19 @@ def test_load_and_ops():
     c = chip.mul(a, b)
     assert c.value == a_v * b_v % P
     d = chip.add(a, b)
-    assert d.value == (a_v + b_v) % P
+    assert d.value % P == (a_v + b_v) % P
+    dr = chip.reduce(d)
+    assert dr.value == (a_v + b_v) % P
     e = chip.sub(a, b)
-    assert e.value == (a_v - b_v) % P
+    assert e.value % P == (a_v - b_v) % P
+    e2 = chip.mul(e, a)  # lazy (possibly negative) input into mul
+    assert e2.value == (a_v - b_v) * a_v % P
     f = chip.neg(a)
-    assert f.value == (-a_v) % P
+    assert f.value % P == (-a_v) % P
     i = chip.inv(a)
     assert i.value == pow(a_v, -1, P)
+    i2 = chip.div_strict(b, a)
+    assert i2.value == b_v * pow(a_v, -1, P) % P
     z = chip.is_zero(a)
     assert ctx.value(z) == 0
     zero = chip.load_private(0)

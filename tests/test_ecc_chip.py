@@ -45,9 +45,9 @@ def test_add_double():
     B = ecc.load_private(P2, check_on_curve=True)
     S = ecc.add_unequal(A, B)
     assert S.host == C.add(P1, P2)
-    assert (S.x.value, S.y.value) == C.add(P1, P2)
+    assert (S.x.value % C.p, S.y.value % C.p) == C.add(P1, P2)
     D = ecc.double(A)
-    assert (D.x.value, D.y.value) == C.add(P1, P1)
+    assert (D.x.value % C.p, D.y.value % C.p) == C.add(P1, P1)
     mp, _ = run_mock(ctx)
     mp.assert_satisfied()
 

@@ -61,30 +61,60 @@ class Context:
         return self.cells[cell]
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class E:
+    """Window entry referencing an existing cell (copied in)."""
+
+    cell: int
+
+
+@dataclasses.dataclass(frozen=True)
+class C:
+    """Window entry pinned to a constant."""
+
+    value: int
+
+
+@dataclasses.dataclass(frozen=True)
+class W:
+    """Fresh witness window entry."""
+
+    value: int
+
+
 class FlexGate:
     """Arithmetic instructions lowering to the vertical gate.
 
     Cell handles are plain ints (tape indices). Every method returns the
-    handle of its result cell.
+    handle of its result cell. Windows are assembled from QuantumCell-style
+    entries (halo2-base's Existing/Constant/Witness) so constants are
+    pinned in place rather than materialised then copied.
     """
 
     def __init__(self, ctx: Context):
         self.ctx = ctx
 
-    # -- raw window: a + b*c = out ----------------------------------------
-    def _window(self, a: int, b: int, c: int) -> int:
-        """Push [copy a][copy b][copy c][out] and enable the gate."""
+    def assemble(self, entries, result_slot: int = 3) -> int:
+        """Push a 4-entry window [a, b, c, d] with gate a + b*c = d enabled.
+
+        Returns the cell index of `result_slot`. Callers guarantee the
+        values satisfy the gate.
+        """
         ctx = self.ctx
-        va, vb, vc = ctx.value(a), ctx.value(b), ctx.value(c)
-        base = ctx.push(va)
-        ctx.copy(base, a)
-        i_b = ctx.push(vb)
-        ctx.copy(i_b, b)
-        i_c = ctx.push(vc)
-        ctx.copy(i_c, c)
-        out = ctx.push((va + vb * vc) % R)
+        base = len(ctx.cells)
+        for ent in entries:
+            if isinstance(ent, E):
+                idx = ctx.push(ctx.value(ent.cell))
+                ctx.copy(idx, ent.cell)
+            elif isinstance(ent, C):
+                ctx.constant(ent.value)
+            else:
+                ctx.push(ent.value)
         ctx.enable_gate(base)
-        return out
+        return base + result_slot
 
     def witness(self, value: int) -> int:
         return self.ctx.push(value)
@@ -93,43 +123,39 @@ class FlexGate:
         return self.ctx.constant(value)
 
     def add(self, a: int, b: int) -> int:
-        one = self.ctx.constant(1)
-        return self._window(a, b, one)
+        va, vb = self.ctx.value(a), self.ctx.value(b)
+        return self.assemble([E(a), E(b), C(1), W((va + vb) % R)])
 
     def sub(self, a: int, b: int) -> int:
-        """out = a - b, via constraint out + b*1 = a."""
-        ctx = self.ctx
-        va, vb = ctx.value(a), ctx.value(b)
-        out = ctx.push((va - vb) % R)
-        i_b = ctx.push(vb)
-        ctx.copy(i_b, b)
-        one = ctx.constant(1)
-        i_a = ctx.push(va)
-        ctx.copy(i_a, a)
-        ctx.enable_gate(out)
-        return out
+        """out = a - b via out + b*1 = a (result in slot 0)."""
+        va, vb = self.ctx.value(a), self.ctx.value(b)
+        return self.assemble([W((va - vb) % R), E(b), C(1), E(a)], result_slot=0)
 
     def neg(self, a: int) -> int:
-        zero = self.ctx.constant(0)
-        return self.sub(zero, a)
+        va = self.ctx.value(a)
+        return self.assemble([W((-va) % R), E(a), C(1), C(0)], result_slot=0)
 
     def mul(self, a: int, b: int) -> int:
-        zero = self.ctx.constant(0)
-        return self._window(zero, a, b)
+        va, vb = self.ctx.value(a), self.ctx.value(b)
+        return self.assemble([C(0), E(a), E(b), W(va * vb % R)])
 
     def mul_add(self, a: int, b: int, c: int) -> int:
         """out = c + a*b."""
-        return self._window(c, a, b)
+        va, vb, vc = self.ctx.value(a), self.ctx.value(b), self.ctx.value(c)
+        return self.assemble([E(c), E(a), E(b), W((vc + va * vb) % R)])
 
     def mul_const(self, a: int, k: int) -> int:
-        kc = self.ctx.constant(k)
-        zero = self.ctx.constant(0)
-        return self._window(zero, a, kc)
+        va = self.ctx.value(a)
+        return self.assemble([C(0), E(a), C(k % R), W(va * k % R)])
 
     def add_const(self, a: int, k: int) -> int:
-        kc = self.ctx.constant(k)
-        one = self.ctx.constant(1)
-        return self._window(a, kc, one)
+        va = self.ctx.value(a)
+        return self.assemble([E(a), C(k % R), C(1), W((va + k) % R)])
+
+    def mul_const_add(self, a: int, k: int, c: int) -> int:
+        """out = c + k*a."""
+        va, vc = self.ctx.value(a), self.ctx.value(c)
+        return self.assemble([E(c), E(a), C(k % R), W((vc + va * k) % R)])
 
     def inner_product(self, a: list[int], b: list[int]) -> int:
         assert len(a) == len(b) and a
@@ -139,8 +165,11 @@ class FlexGate:
         return acc
 
     def inner_product_const(self, a: list[int], consts: list[int]) -> int:
-        cc = [self.ctx.constant(c) for c in consts]
-        return self.inner_product(a, cc)
+        assert a
+        acc = self.mul_const(a[0], consts[0])
+        for x, k in zip(a[1:], consts[1:]):
+            acc = self.mul_const_add(x, k, acc)
+        return acc
 
     def sum_(self, xs: list[int]) -> int:
         acc = xs[0]

@@ -74,7 +74,7 @@ class EccChip:
         y2 = fp.mul(P.y, P.y)
         ax = fp.mul(fp.load_constant(self.curve.a), P.x)
         rhs = fp.add(fp.add(x3, ax), fp.load_constant(self.curve.b))
-        fp.assert_equal(y2, rhs)
+        fp.assert_congruent(y2, rhs)
 
     def neg(self, P: EcPoint) -> EcPoint:
         return EcPoint(P.x, self.fp.neg(P.y), self.curve.neg_pt(P.host))
@@ -87,11 +87,25 @@ class EccChip:
 
     # --- group law (incomplete affine; exceptions unsatisfiable) ----------
 
+    def _norm_coord(self, x):
+        """Re-tighten a coordinate whose structural bounds grew too lazy."""
+        from .bigint import LIMB_MASK
+
+        p = self.fp.p
+        if x.limb_bound > 8 * LIMB_MASK or x.vmax > 8 * p or x.vmin < -8 * p:
+            return self.fp.reduce(x)
+        return x
+
+    def _norm(self, P: EcPoint) -> EcPoint:
+        return EcPoint(self._norm_coord(P.x), self._norm_coord(P.y), P.host)
+
     def add_unequal(self, P: EcPoint, Q: EcPoint) -> EcPoint:
         fp = self.fp
+        P = self._norm(P)
+        Q = self._norm(Q)
         dx = fp.sub(Q.x, P.x)
         dy = fp.sub(Q.y, P.y)
-        lam = fp.mul(dy, fp.inv(dx))
+        lam = fp.div_strict(dy, dx)  # strict: x1 == x2 is unsatisfiable
         lam2 = fp.mul(lam, lam)
         x3 = fp.sub(fp.sub(lam2, P.x), Q.x)
         y3 = fp.sub(fp.mul(lam, fp.sub(P.x, x3)), P.y)
@@ -101,11 +115,12 @@ class EccChip:
 
     def double(self, P: EcPoint) -> EcPoint:
         fp = self.fp
+        P = self._norm(P)
         x2 = fp.mul(P.x, P.x)
         three_x2 = fp.add(fp.add(x2, x2), x2)
         num = fp.add(three_x2, fp.load_constant(self.curve.a))
         den = fp.add(P.y, P.y)
-        lam = fp.mul(num, fp.inv(den))
+        lam = fp.div_strict(num, den)  # strict: y == 0 is unsatisfiable
         lam2 = fp.mul(lam, lam)
         x3 = fp.sub(fp.sub(lam2, P.x), P.x)
         y3 = fp.sub(fp.mul(lam, fp.sub(P.x, x3)), P.y)

@@ -15,9 +15,9 @@ asserts it like the reference (`gate.assert_is_const(ctx, &res, &Fr::one())`).
 from __future__ import annotations
 
 from ..curves.host_curve import SECP256R1
-from .bigint import LIMB_BASE, LIMB_BITS, NUM_LIMBS, BigIntChip, CRTInt, _split
+from ..fields import BN254_FR
+from .bigint import NUM_LIMBS, BigIntChip, CRTInt, _split
 from .ecc import EccChip, EcPoint
-from .range import RangeChip
 
 
 def ecdsa_verify_no_pubkey_check(
@@ -28,30 +28,35 @@ def ecdsa_verify_no_pubkey_check(
     s: CRTInt,
     msghash: CRTInt,
 ) -> int:
-    """All CRT ints over Fq = Z_n (n = secp256r1 group order); pk over Fp."""
+    """r, s, msghash are CRT ints over Fq = Z_n (n = secp256r1 group order);
+    pk coordinates over Fp."""
     curve = SECP256R1
     g = ecc.fp.gate
     assert fq.p == curve.n
 
-    # 0 < r, s < n (canonical-ness gives < n; enforce nonzero)
-    g.assert_const(fq.is_zero(r), 0)
-    g.assert_const(fq.is_zero(s), 0)
+    # 0 < r, s < n
+    r_c = fq.reduce_canonical(r)
+    s_c = fq.reduce_canonical(s)
+    g.assert_const(fq.is_zero(r_c), 0)
+    g.assert_const(fq.is_zero(s_c), 0)
 
-    w = fq.inv(s)
+    w = fq.inv(s_c)
     u1 = fq.mul(msghash, w)
-    u2 = fq.mul(r, w)
+    u2 = fq.mul(r_c, w)
+    # u1, u2 are representatives in [0, 2^256); since the group has order n,
+    # (u1 mod n + k*n) * G == (u1 mod n) * G, so representatives are fine.
 
     G = ecc.load_constant(curve.g)
     bits1 = ecc.scalar_bits(u1, fq)
     bits2 = ecc.scalar_bits(u2, fq)
     R_pt = ecc.msm_window4([G, pk], [bits1, bits2])
 
-    # x(R) ≡ r (mod n):  x = r + j*n with j in {0,1}
-    # (valid since x < p < 2n for P-256)
+    # x(R) ≡ r (mod n): canonical x < p < 2n, so x = r + j*n with j in {0,1}
     assert curve.p < 2 * curve.n
-    x_val = R_pt.x.value
-    j_val = 0 if x_val == r.value else 1
-    assert x_val == r.value + j_val * curve.n, "ecdsa witness: x(R) != r mod n"
+    x_c = ecc.fp.reduce_canonical(R_pt.x)
+    x_val = x_c.value
+    j_val = 0 if x_val == r_c.value else 1
+    assert x_val == r_c.value + j_val * curve.n, "ecdsa witness: x(R) != r mod n"
     ctx = g.ctx
     j = ctx.push(j_val)
     g.assert_bit(j)
@@ -60,18 +65,14 @@ def ecdsa_verify_no_pubkey_check(
     n_limbs = _split(curve.n)
     t_cells = []
     t_ints = []
-    x_int = _split(x_val)
-    r_int = _split(r.value)
     for k in range(NUM_LIMBS):
         jn = g.mul_const(j, n_limbs[k])
-        term = g.sub(g.sub(R_pt.x.limbs[k], r.limbs[k]), jn)
+        term = g.sub(g.sub(x_c.limbs[k], r_c.limbs[k]), jn)
         t_cells.append(term)
-        t_ints.append(x_int[k] - r_int[k] - j_val * n_limbs[k])
+        t_ints.append(x_c.limb_vals[k] - r_c.limb_vals[k] - j_val * n_limbs[k])
     ecc.fp._carry_chain(t_cells, t_ints)
-    from ..fields import BN254_FR
-
     nat = g.sub(
-        g.sub(R_pt.x.native, r.native), g.mul_const(j, curve.n % BN254_FR.p)
+        g.sub(x_c.native, r_c.native), g.mul_const(j, curve.n % BN254_FR.p)
     )
     g.assert_const(nat, 0)
 
