@@ -39,6 +39,8 @@ class Pinning:
     num_cells: int
     num_lookup_cells: int
     num_instance: int
+    num_spread_advice: int = 0  # column PAIRS for the 11-bit spread table
+    num_spread_pairs: int = 0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -115,12 +117,22 @@ class CircuitBuilder:
         for i in range(num_lookup_cells):
             lookup_of_cell.append((i // u, i % u))
 
+        # --- spread pair columns (11-bit dense/spread table) --------------
+        num_spread_pairs = len(ctx.spread_pairs)
+        num_spread_advice = (num_spread_pairs + u - 1) // u if num_spread_pairs else 0
+
         # --- columns -------------------------------------------------------
         advice_cols = [cs.advice_column() for _ in range(num_advice)]
         lookup_cols = [cs.advice_column() for _ in range(num_lookup_advice)]
+        spread_cols = [
+            (cs.advice_column(), cs.advice_column()) for _ in range(num_spread_advice)
+        ]
         selector_cols = [cs.fixed_column() for _ in range(num_advice)]
         const_col = cs.fixed_column()
         table_col = cs.fixed_column() if self.lookup_bits is not None else None
+        if num_spread_advice:
+            spread_tbl_dense = cs.fixed_column()
+            spread_tbl_spread = cs.fixed_column()
         num_instance = 1 if ctx.instance_cells else 0
         inst_col = cs.instance_column() if num_instance else None
 
@@ -136,6 +148,12 @@ class CircuitBuilder:
         if table_col is not None:
             for lc in lookup_cols:
                 cs.add_lookup("range", [lc.query()], [table_col.query()])
+        for dc, sc in spread_cols:
+            cs.add_lookup(
+                "spread",
+                [dc.query(), sc.query()],
+                [spread_tbl_dense.query(), spread_tbl_spread.query()],
+            )
 
         # --- fixed values --------------------------------------------------
         selector_vals = [[0] * n for _ in range(num_advice)]
@@ -157,6 +175,13 @@ class CircuitBuilder:
             tb = 1 << self.lookup_bits
             assert tb + cs.blinding_factors + 1 <= n, "lookup table larger than domain"
             fixed_values.append(list(range(tb)) + [0] * (n - tb))
+        if num_spread_advice:
+            from .sha256 import SPREAD_BITS, spread_int
+
+            sn = 1 << SPREAD_BITS
+            assert sn + cs.blinding_factors + 1 <= n, "spread table larger than domain"
+            fixed_values.append(list(range(sn)) + [0] * (n - sn))
+            fixed_values.append([spread_int(x) for x in range(sn)] + [0] * (n - sn))
 
         # --- copies --------------------------------------------------------
         def cell_pos(cell: int) -> tuple[Column, int]:
@@ -170,6 +195,10 @@ class CircuitBuilder:
         for slot, cell in enumerate(ctx.lookup_cells):
             lci, lrow = lookup_of_cell[slot]
             cs.copy(cell_pos(cell), (lookup_cols[lci], lrow))
+        for slot, (dcell, scell) in enumerate(ctx.spread_pairs):
+            pci, prow = slot // u, slot % u
+            cs.copy(cell_pos(dcell), (spread_cols[pci][0], prow))
+            cs.copy(cell_pos(scell), (spread_cols[pci][1], prow))
         for row, cell in enumerate(ctx.instance_cells):
             assert row < u
             cs.copy(cell_pos(cell), (inst_col, row))
@@ -183,6 +212,8 @@ class CircuitBuilder:
             num_cells=num_cells,
             num_lookup_cells=num_lookup_cells,
             num_instance=num_instance,
+            num_spread_advice=num_spread_advice,
+            num_spread_pairs=num_spread_pairs,
         )
         return CompiledCircuit(
             cs=cs,
@@ -196,14 +227,23 @@ class CircuitBuilder:
         """Fill advice column values from a (structurally identical) trace."""
         n = 1 << self.k
         pin = compiled.pinning
+        u = compiled.cs.usable_rows(n)
         assert len(ctx.cells) == pin.num_cells, "witness trace shape mismatch"
-        cols = [[0] * n for _ in range(pin.num_advice + pin.num_lookup_advice)]
+        cols = [
+            [0] * n
+            for _ in range(pin.num_advice + pin.num_lookup_advice + 2 * pin.num_spread_advice)
+        ]
         for cell, v in enumerate(ctx.cells):
             ci, row = compiled.advice_of_cell[cell]
             cols[ci][row] = v
         for slot, cell in enumerate(ctx.lookup_cells):
             lci, lrow = compiled.lookup_of_cell[slot]
             cols[pin.num_advice + lci][lrow] = ctx.cells[cell]
+        base = pin.num_advice + pin.num_lookup_advice
+        for slot, (dcell, scell) in enumerate(ctx.spread_pairs):
+            pci, prow = slot // u, slot % u
+            cols[base + 2 * pci][prow] = ctx.cells[dcell]
+            cols[base + 2 * pci + 1][prow] = ctx.cells[scell]
         return cols
 
     def instance_values(self, ctx: Context) -> list[list[int]]:

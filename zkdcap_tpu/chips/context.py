@@ -30,6 +30,7 @@ class Context:
         self.copies: list[tuple[int, int]] = []  # cell equality constraints
         self.constant_cells: list[tuple[int, int]] = []  # (cell, constant value)
         self.lookup_cells: list[int] = []  # cells to range-lookup (builder-wide bits)
+        self.spread_pairs: list[tuple[int, int]] = []  # (dense, spread) 11-bit pairs
         self.instance_cells: list[int] = []  # cells exposed as public inputs
 
     # --- tape primitives -------------------------------------------------

@@ -1,0 +1,195 @@
+"""Prover lifecycle + artifact cache (reference `ECDSAProver`, base.rs).
+
+Reference semantics (SURVEY.md §2.1 A8, §5.4): keygen at k=18 writes
+`params/pk.npz`, `params/vk.json`, `params/pinning.json` (circuit shape +
+deterministic layout = the reference's (BaseCircuitParams,
+MultiPhaseThreadBreakPoints)); `from_files` reloads them; `create_proof`
+re-runs witness generation against the frozen pinning and produces a
+proof with the chosen transcript (blake2b native / keccak EVM).
+
+The circuit structure is witness-independent, so keygen traces a fixed
+valid sample signature; proofs re-trace with the real input and assert the
+structure matches the pinning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..chips import CircuitBuilder, Pinning
+from ..circuits.p256_ecdsa import ECDSAInput, build_ecdsa_trace
+from ..commit import ParamsKZG, gen_srs
+from ..curves.host_curve import SECP256R1
+from ..fields import BN254_FR, mont
+from ..ntt import Domain
+from ..plonk.keygen import ProvingKey, VerifyingKey, keygen
+from ..plonk.prover import create_proof
+from ..plonk.verifier import verify_proof
+from ..transcript import TranscriptWriter
+
+R = BN254_FR.p
+
+
+def _sample_input() -> ECDSAInput:
+    """Deterministic valid P-256 signature for structure tracing."""
+    c = SECP256R1
+    d = 0xC0FFEE1234567890ABCDEF
+    pub = c.mul(d, c.g)
+    z = 0x1122334455667788990011223344556677889900112233445566778899001122 % c.n
+    k = 0xDEADBEEFCAFEBABE1337
+    r = c.mul(k, c.g)[0] % c.n
+    s = pow(k, -1, c.n) * (z + r * d) % c.n
+    return ECDSAInput(r=r, s=s, msghash=z, x=pub[0], y=pub[1])
+
+
+SAMPLE_INPUT = _sample_input()
+
+
+class ECDSAProver:
+    """keygen / prove / verify with cached artifacts (base.rs:93-283)."""
+
+    K_DEFAULT = 18  # base.rs:134 gen_srs(18)
+
+    def __init__(self, params_dir: str = "params", k: int = K_DEFAULT,
+                 transcript: str = "blake2b", lookup_bits: int | None = None):
+        self.params_dir = params_dir
+        self.k = k
+        self.transcript_kind = transcript
+        # lookup table must fit the domain: 2^17 table needs k >= 18
+        self.lookup_bits = lookup_bits if lookup_bits is not None else min(17, k - 1)
+        self._pk: ProvingKey | None = None
+        self._params: ParamsKZG | None = None
+        self._compiled = None
+        self._builder = None
+
+    # --- artifacts --------------------------------------------------------
+
+    @property
+    def pk_path(self):
+        return os.path.join(self.params_dir, f"pk_k{self.k}.npz")
+
+    @property
+    def pinning_path(self):
+        return os.path.join(self.params_dir, "pinning.json")
+
+    @property
+    def vk_path(self):
+        return os.path.join(self.params_dir, f"vk_k{self.k}.json")
+
+    def _compile(self, pinning: Pinning | None = None):
+        trace = build_ecdsa_trace(SAMPLE_INPUT, self.lookup_bits)
+        builder = CircuitBuilder(self.k, lookup_bits=self.lookup_bits)
+        compiled = builder.compile(trace, pinning)
+        return builder, compiled, trace
+
+    def params(self) -> ParamsKZG:
+        if self._params is None:
+            self._params = ParamsKZG(srs=gen_srs(self.k, cache_dir=self.params_dir))
+        return self._params
+
+    def keygen(self, force: bool = False) -> ProvingKey:
+        os.makedirs(self.params_dir, exist_ok=True)
+        if not force and self._pk is not None:
+            return self._pk
+        if not force and os.path.exists(self.pk_path) and os.path.exists(self.pinning_path):
+            try:
+                return self._load()
+            except Exception:
+                # corrupt artifacts are regenerated, like read_pinning (base.rs:102-114)
+                pass
+        params = self.params()
+        builder, compiled, _ = self._compile()
+        pk = keygen(params, compiled.cs, compiled.fixed_values, self.transcript_kind)
+        self._pk, self._builder, self._compiled = pk, builder, compiled
+        self._save(pk, compiled.pinning)
+        return pk
+
+    def _save(self, pk: ProvingKey, pinning: Pinning) -> None:
+        with open(self.pinning_path, "w") as f:
+            f.write(pinning.to_json())
+        arrays = {}
+        for name in ("fixed_lagrange", "fixed_coeff", "fixed_extended",
+                     "sigma_lagrange", "sigma_coeff", "sigma_extended"):
+            lst = getattr(pk, name)
+            if lst:
+                arrays[name] = np.stack([np.asarray(jax.device_get(a)) for a in lst])
+        for name in ("l0_ext", "llast_ext", "lblind_ext", "zh_inv_ext"):
+            arrays[name] = np.asarray(jax.device_get(getattr(pk, name)))
+        np.savez_compressed(self.pk_path, **arrays)
+        vk_data = {
+            "k": pk.vk.k,
+            "transcript": pk.vk.transcript_kind,
+            "fixed_commitments": [list(c) if c else None for c in pk.vk.fixed_commitments],
+            "permutation_commitments": [list(c) if c else None for c in pk.vk.permutation_commitments],
+        }
+        with open(self.vk_path, "w") as f:
+            json.dump(vk_data, f)
+
+    def _load(self) -> ProvingKey:
+        import jax.numpy as jnp
+
+        with open(self.pinning_path) as f:
+            pinning = Pinning.from_json(f.read())
+        builder, compiled, _ = self._compile(pinning)
+        with open(self.vk_path) as f:
+            vk_data = json.load(f)
+        assert vk_data["k"] == self.k
+        data = np.load(self.pk_path)
+        vk = VerifyingKey(
+            k=self.k,
+            cs=compiled.cs,
+            fixed_commitments=[tuple(c) if c else None for c in vk_data["fixed_commitments"]],
+            permutation_commitments=[tuple(c) if c else None for c in vk_data["permutation_commitments"]],
+            transcript_kind=vk_data["transcript"],
+        )
+        domain = Domain(BN254_FR, self.k, compiled.cs.extended_k(self.k))
+        lists = {}
+        for name in ("fixed_lagrange", "fixed_coeff", "fixed_extended",
+                     "sigma_lagrange", "sigma_coeff", "sigma_extended"):
+            lists[name] = [jnp.asarray(a) for a in data[name]] if name in data else []
+        pk = ProvingKey(
+            vk=vk,
+            domain=domain,
+            fixed_values=compiled.fixed_values,
+            l0_ext=jnp.asarray(data["l0_ext"]),
+            llast_ext=jnp.asarray(data["llast_ext"]),
+            lblind_ext=jnp.asarray(data["lblind_ext"]),
+            zh_inv_ext=jnp.asarray(data["zh_inv_ext"]),
+            **lists,
+        )
+        self._pk, self._builder, self._compiled = pk, builder, compiled
+        return pk
+
+    # --- proving ----------------------------------------------------------
+
+    def create_proof(self, inp: ECDSAInput, evm: bool = False) -> bytes:
+        pk = self.keygen()
+        trace = build_ecdsa_trace(inp, self.lookup_bits)
+        advice_cols = self._builder.witness_columns(self._compiled, trace)
+        instances = self._builder.instance_values(trace)
+        assert instances and len(instances[0]) == 15, "expected 15 public instances"
+        assert instances[0] == inp.as_instances()
+        advice_dev = [mont.encode_ints(BN254_FR, col) for col in advice_cols]
+        kind = "keccak" if evm else self.transcript_kind
+        tw = TranscriptWriter(kind)
+        vk_kind = pk.vk.transcript_kind
+        pk.vk.transcript_kind = kind
+        try:
+            proof = create_proof(self.params(), pk, advice_dev, instances, tw)
+        finally:
+            pk.vk.transcript_kind = vk_kind
+        return proof
+
+    def verify(self, inp_instances: list[int], proof: bytes, evm: bool = False) -> bool:
+        pk = self.keygen()
+        kind = "keccak" if evm else self.transcript_kind
+        vk_kind = pk.vk.transcript_kind
+        pk.vk.transcript_kind = kind
+        try:
+            return verify_proof(self.params(), pk.vk, [inp_instances], proof)
+        finally:
+            pk.vk.transcript_kind = vk_kind
