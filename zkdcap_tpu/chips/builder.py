@@ -41,6 +41,8 @@ class Pinning:
     num_instance: int
     num_spread_advice: int = 0  # column PAIRS for the 11-bit spread table
     num_spread_pairs: int = 0
+    # custom pair tables: name -> [num_col_pairs, num_pairs]
+    pair_table_meta: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -121,6 +123,13 @@ class CircuitBuilder:
         num_spread_pairs = len(ctx.spread_pairs)
         num_spread_advice = (num_spread_pairs + u - 1) // u if num_spread_pairs else 0
 
+        # --- generic custom pair tables (e.g. base64) ---------------------
+        pair_names = sorted(ctx.pair_tables)
+        pair_meta = {}
+        for name in pair_names:
+            cnt = len(ctx.pair_lookups[name])
+            pair_meta[name] = [max((cnt + u - 1) // u, 1) if cnt else 0, cnt]
+
         # --- columns -------------------------------------------------------
         advice_cols = [cs.advice_column() for _ in range(num_advice)]
         lookup_cols = [cs.advice_column() for _ in range(num_lookup_advice)]
@@ -154,6 +163,19 @@ class CircuitBuilder:
                 [dc.query(), sc.query()],
                 [spread_tbl_dense.query(), spread_tbl_spread.query()],
             )
+        pair_adv_cols = {}
+        pair_tbl_cols = {}
+        for name in pair_names:
+            ncols = pair_meta[name][0]
+            if ncols == 0:
+                continue
+            pair_tbl_cols[name] = (cs.fixed_column(), cs.fixed_column())
+            pair_adv_cols[name] = [
+                (cs.advice_column(), cs.advice_column()) for _ in range(ncols)
+            ]
+            ta, tb = pair_tbl_cols[name]
+            for ca, cb in pair_adv_cols[name]:
+                cs.add_lookup(name, [ca.query(), cb.query()], [ta.query(), tb.query()])
 
         # --- fixed values --------------------------------------------------
         selector_vals = [[0] * n for _ in range(num_advice)]
@@ -182,6 +204,14 @@ class CircuitBuilder:
             assert sn + cs.blinding_factors + 1 <= n, "spread table larger than domain"
             fixed_values.append(list(range(sn)) + [0] * (n - sn))
             fixed_values.append([spread_int(x) for x in range(sn)] + [0] * (n - sn))
+        for name in pair_names:
+            if pair_meta[name][0] == 0:
+                continue
+            rows = ctx.pair_tables[name]
+            assert len(rows) + cs.blinding_factors + 1 <= n
+            assert (0, 0) in rows, f"pair table {name} must contain (0,0) padding row"
+            fixed_values.append([r[0] for r in rows] + [0] * (n - len(rows)))
+            fixed_values.append([r[1] for r in rows] + [0] * (n - len(rows)))
 
         # --- copies --------------------------------------------------------
         def cell_pos(cell: int) -> tuple[Column, int]:
@@ -199,6 +229,11 @@ class CircuitBuilder:
             pci, prow = slot // u, slot % u
             cs.copy(cell_pos(dcell), (spread_cols[pci][0], prow))
             cs.copy(cell_pos(scell), (spread_cols[pci][1], prow))
+        for name in pair_names:
+            for slot, (ca, cb) in enumerate(ctx.pair_lookups[name]):
+                pci, prow = slot // u, slot % u
+                cs.copy(cell_pos(ca), (pair_adv_cols[name][pci][0], prow))
+                cs.copy(cell_pos(cb), (pair_adv_cols[name][pci][1], prow))
         for row, cell in enumerate(ctx.instance_cells):
             assert row < u
             cs.copy(cell_pos(cell), (inst_col, row))
@@ -214,6 +249,7 @@ class CircuitBuilder:
             num_instance=num_instance,
             num_spread_advice=num_spread_advice,
             num_spread_pairs=num_spread_pairs,
+            pair_table_meta=pair_meta,
         )
         return CompiledCircuit(
             cs=cs,
@@ -229,9 +265,12 @@ class CircuitBuilder:
         pin = compiled.pinning
         u = compiled.cs.usable_rows(n)
         assert len(ctx.cells) == pin.num_cells, "witness trace shape mismatch"
+        n_pair_cols = 2 * sum(v[0] for v in (pin.pair_table_meta or {}).values())
         cols = [
             [0] * n
-            for _ in range(pin.num_advice + pin.num_lookup_advice + 2 * pin.num_spread_advice)
+            for _ in range(
+                pin.num_advice + pin.num_lookup_advice + 2 * pin.num_spread_advice + n_pair_cols
+            )
         ]
         for cell, v in enumerate(ctx.cells):
             ci, row = compiled.advice_of_cell[cell]
@@ -244,6 +283,14 @@ class CircuitBuilder:
             pci, prow = slot // u, slot % u
             cols[base + 2 * pci][prow] = ctx.cells[dcell]
             cols[base + 2 * pci + 1][prow] = ctx.cells[scell]
+        base += 2 * pin.num_spread_advice
+        for name in sorted(ctx.pair_tables):
+            meta = (pin.pair_table_meta or {}).get(name, [0, 0])
+            for slot, (ca, cb) in enumerate(ctx.pair_lookups[name]):
+                pci, prow = slot // u, slot % u
+                cols[base + 2 * pci][prow] = ctx.cells[ca]
+                cols[base + 2 * pci + 1][prow] = ctx.cells[cb]
+            base += 2 * meta[0]
         return cols
 
     def instance_values(self, ctx: Context) -> list[list[int]]:

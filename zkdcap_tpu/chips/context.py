@@ -31,7 +31,21 @@ class Context:
         self.constant_cells: list[tuple[int, int]] = []  # (cell, constant value)
         self.lookup_cells: list[int] = []  # cells to range-lookup (builder-wide bits)
         self.spread_pairs: list[tuple[int, int]] = []  # (dense, spread) 11-bit pairs
+        # generic custom pair-lookup tables: name -> table rows [(a, b)]
+        self.pair_tables: dict[str, list[tuple[int, int]]] = {}
+        # name -> [(cellA, cellB)] pairs constrained to be table rows
+        self.pair_lookups: dict[str, list[tuple[int, int]]] = {}
         self.instance_cells: list[int] = []  # cells exposed as public inputs
+
+    def register_pair_table(self, name: str, rows: list[tuple[int, int]]) -> None:
+        if name in self.pair_tables:
+            assert self.pair_tables[name] == rows
+            return
+        self.pair_tables[name] = rows
+        self.pair_lookups[name] = []
+
+    def pair_lookup(self, name: str, a: int, b: int) -> None:
+        self.pair_lookups[name].append((a, b))
 
     # --- tape primitives -------------------------------------------------
 

@@ -1,0 +1,158 @@
+"""`zk-clique`-equivalent command line (reference bin/src/main.rs:31-108).
+
+Subcommands (mirroring the reference's `p256-ecdsa` subcommand set):
+  setup         keygen at k=18, writing params/ artifacts (main.rs:191)
+  prove         --msghash --signature --pubkey [--evm] -> proof hex (main.rs:142-160)
+  verify        --proof --msghash --signature --pubkey [--evm] (main.rs:123-139)
+  gen-calldata  EVM calldata = instances ++ proof (main.rs:171)
+  gen-solidity  Solidity verifier source (main.rs:181-189)
+  dcap-mock     run the DCAP demo circuit through the constraint checker
+
+Arguments accept 0x-literals or file paths (read_raw_or_file, main.rs:111-120).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _read_raw_or_file(v: str) -> str:
+    if v.startswith("0x"):
+        return v[2:]
+    if os.path.exists(v):
+        with open(v) as f:
+            return f.read().strip().removeprefix("0x")
+    return v
+
+
+def _get_prover(args):
+    from .runtime.prover import ECDSAProver
+
+    return ECDSAProver(params_dir=args.params_dir, k=args.k)
+
+
+def cmd_setup(args):
+    if not os.path.isdir(args.params_dir):
+        os.makedirs(args.params_dir, exist_ok=True)
+    prover = _get_prover(args)
+    prover.keygen(force=args.force)
+    print(f"wrote artifacts to {args.params_dir}/")
+
+
+def _input_from_args(args):
+    from .circuits.p256_ecdsa import ECDSAInput
+
+    return ECDSAInput.from_hex(
+        _read_raw_or_file(args.msghash),
+        _read_raw_or_file(args.signature),
+        _read_raw_or_file(args.pubkey),
+    )
+
+
+def cmd_prove(args):
+    inp = _input_from_args(args)
+    assert inp.verify_native(), "input signature does not verify natively"
+    prover = _get_prover(args)
+    proof = prover.create_proof(inp, evm=args.evm)
+    out = "0x" + proof.hex()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"proof written to {args.output} ({len(proof)} bytes)")
+    else:
+        print(out)
+
+
+def cmd_verify(args):
+    inp = _input_from_args(args)
+    proof = bytes.fromhex(_read_raw_or_file(args.proof))
+    prover = _get_prover(args)
+    ok = prover.verify(inp.as_instances(), proof, evm=args.evm)
+    print("valid" if ok else "INVALID")
+    sys.exit(0 if ok else 1)
+
+
+def cmd_gen_calldata(args):
+    from .evm.calldata import encode_calldata
+
+    inp = _input_from_args(args)
+    proof = bytes.fromhex(_read_raw_or_file(args.proof))
+    data = encode_calldata(inp.as_instances(), proof)
+    print("0x" + data.hex())
+
+
+def cmd_gen_solidity(args):
+    from .evm.solidity import gen_evm_verifier
+
+    prover = _get_prover(args)
+    pk = prover.keygen()
+    src = gen_evm_verifier(prover.params(), pk.vk, num_instances=15)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(src)
+        print(f"verifier written to {args.output}")
+    else:
+        print(src)
+
+
+def cmd_dcap_mock(args):
+    from .chips import CircuitBuilder
+    from .circuits.dcap import build_dcap_trace, load_demo_input
+    from .plonk.mock import MockProver
+
+    inp = load_demo_input()
+    assert inp.verify_native()
+    trace = build_dcap_trace(inp)
+    builder = CircuitBuilder(args.k, lookup_bits=16)
+    compiled = builder.compile(trace)
+    advice = builder.witness_columns(compiled, trace)
+    MockProver(args.k, compiled.cs, compiled.fixed_values, advice, []).assert_satisfied()
+    print(f"DCAP demo circuit satisfied at k={args.k} "
+          f"({len(trace.cells)} cells, {compiled.pinning.num_advice} advice columns)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="zk-clique", description=__doc__)
+    ap.add_argument("--params-dir", default="params")
+    ap.add_argument("--k", type=int, default=18)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("setup").add_argument("--force", action="store_true")
+    for name in ("prove", "verify", "gen-calldata"):
+        p = sub.add_parser(name)
+        p.add_argument("--msghash", required=True)
+        p.add_argument("--signature", required=True)
+        p.add_argument("--pubkey", required=True)
+        if name != "prove":
+            p.add_argument("--proof", required=True)
+        if name == "prove":
+            p.add_argument("--evm", action="store_true")
+            p.add_argument("--output")
+        if name == "verify":
+            p.add_argument("--evm", action="store_true")
+    p = sub.add_parser("gen-solidity")
+    p.add_argument("--output")
+    sub.add_parser("dcap-mock")
+
+    args = ap.parse_args(argv)
+    # guard on missing params dir like the reference (main.rs:256-263)
+    if args.cmd != "setup" and not os.path.isdir(args.params_dir):
+        print(
+            f"`{args.params_dir}` does not exist; run `zk-clique setup` first",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    {
+        "setup": cmd_setup,
+        "prove": cmd_prove,
+        "verify": cmd_verify,
+        "gen-calldata": cmd_gen_calldata,
+        "gen-solidity": cmd_gen_solidity,
+        "dcap-mock": cmd_dcap_mock,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

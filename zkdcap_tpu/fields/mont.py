@@ -81,7 +81,7 @@ def _carry_sweep(s: jax.Array) -> tuple[jax.Array, jax.Array]:
         v = s_i + c
         return v >> W, v & MASK
 
-    c, out = jax.lax.scan(body, jnp.zeros_like(s[..., 0]), s_l)
+    c, out = jax.lax.scan(body, jnp.zeros_like(s[..., 0]), s_l, unroll=True)
     return jnp.moveaxis(out, 0, -1), c
 
 
@@ -100,7 +100,7 @@ def _borrow_sub(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
         d = ai - bi - bw
         return (d >> W) & jnp.uint32(1), d & MASK
 
-    bw, out = jax.lax.scan(body, jnp.zeros_like(a[..., 0]), (a_l, b_l))
+    bw, out = jax.lax.scan(body, jnp.zeros_like(a[..., 0]), (a_l, b_l), unroll=True)
     return jnp.moveaxis(out, 0, -1), bw
 
 
@@ -179,7 +179,7 @@ def mont_mul(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
         t_new = t_new.at[..., 0].add(c0)
         return t_new, None
 
-    t, _ = jax.lax.scan(round_, t0, a_l)
+    t, _ = jax.lax.scan(round_, t0, a_l, unroll=True)
 
     # Carry sweep: limbs < 2^22 -> canonical 16-bit limbs + overflow bit.
     out, c = _carry_sweep(t)
@@ -251,23 +251,25 @@ def select(cond: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
 # --- host <-> device conversion -------------------------------------------
 
 def encode_ints(params: FieldParams, values, to_montgomery: bool = True) -> jax.Array:
-    """Host list/array of python ints -> packed device array (Montgomery)."""
-    vals = [int(v) % params.p for v in values]
-    arr = np.stack([int_to_limbs(v) for v in vals]).astype(np.uint32)
+    """Host list/array of python ints -> packed device array (Montgomery).
+
+    Bulk path: int.to_bytes + np.frombuffer (C speed) instead of per-limb
+    python loops — keygen encodes tens of millions of limbs.
+    """
+    p = params.p
+    buf = b"".join((int(v) % p).to_bytes(32, "little") for v in values)
+    arr = np.frombuffer(buf, dtype=np.uint16).reshape(-1, L).astype(np.uint32)
     x = jnp.asarray(arr)
     return to_mont(params, x) if to_montgomery else x
 
 
 def decode_ints(params: FieldParams, x: jax.Array, from_montgomery: bool = True) -> list[int]:
-    """Packed device array (..., L) -> flat list of python ints."""
+    """Packed device array (..., L) -> flat list of python ints (bulk path)."""
     if from_montgomery:
         x = from_mont(params, x)
-    arr = np.asarray(jax.device_get(x)).astype(np.uint64)
-    flat = arr.reshape(-1, L)
-    out = []
-    for row in flat:
-        v = 0
-        for i in range(L - 1, -1, -1):
-            v = (v << W) | int(row[i])
-        out.append(v)
-    return out
+    arr = np.asarray(jax.device_get(x)).astype(np.uint16)
+    flat = arr.reshape(-1, L).tobytes()
+    return [
+        int.from_bytes(flat[32 * i : 32 * (i + 1)], "little")
+        for i in range(len(flat) // 32)
+    ]
