@@ -42,3 +42,13 @@ class ParamsKZG:
 
     def commit_lagrange(self, evals: jax.Array) -> Affine:
         return self.commit(intt(BN254_FR, evals))
+
+    def commit_many(self, coeffs_list) -> list[Affine]:
+        """One batched MSM for many polys (per-round multi-column commits)."""
+        from ..msm.pippenger import msm_many_host
+
+        if not coeffs_list:
+            return []
+        m = max(c.shape[0] for c in coeffs_list)
+        assert m <= self.n
+        return msm_many_host(self.srs.g1_powers[:m], list(coeffs_list), G1_SPEC)

@@ -171,23 +171,43 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
 
     bX, bY, bZ = jax.lax.map(window_fn, digits)  # (32, 256, L) each
 
-    # -- stage 5: suffix-sum aggregation across buckets, all windows at once
-    S0 = ec_inf(spec, (NUM_WINDOWS,))
-    T0 = ec_inf(spec, (NUM_WINDOWS,))
+    # -- stage 5: log-depth aggregation: sum_d d*B_d = sum_{d>=1} S_d where
+    # S_d = suffix sums of buckets — a Hillis-Steele suffix scan (8 wide EC
+    # adds) followed by a tree reduction (8 more), instead of 2*255
+    # sequential tiny adds.
+    S = (bX, bY, bZ)
+    idxB = jnp.arange(NUM_BUCKETS, dtype=jnp.int32)
 
-    def agg(i, carry):
-        S, T = carry
-        dig = NUM_BUCKETS - 1 - i
-        Bd = (
-            jax.lax.dynamic_index_in_dim(bX, dig, 1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(bY, dig, 1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(bZ, dig, 1, keepdims=False),
-        )
-        S = ec_add(spec, S, Bd)
-        T = ec_add(spec, T, S)
-        return (S, T)
+    def suffix_level(s, carry):
+        cX, cY, cZ = carry
+        shift = jnp.left_shift(jnp.int32(1), s)
+        nX = jnp.roll(cX, -shift, axis=1)
+        nY = jnp.roll(cY, -shift, axis=1)
+        nZ = jnp.roll(cZ, -shift, axis=1)
+        valid = (idxB + shift) < NUM_BUCKETS  # (256,)
+        vb = jnp.broadcast_to(valid[None, :], cX.shape[:2])
+        summed = ec_add(spec, (cX, cY, cZ), (nX, nY, nZ))
+        return ec_select(vb, summed, (cX, cY, cZ))
 
-    _, T = jax.lax.fori_loop(0, NUM_BUCKETS - 1, agg, (S0, T0))
+    S = jax.lax.fori_loop(0, WINDOW_BITS, suffix_level, S)
+    # zero out bucket 0 (digit 0 contributes nothing): drop index 0, then
+    # tree-reduce S_1..S_255 (pad with identity to 256 lanes)
+    SX, SY, SZ = S
+    one_pad = mont.one_mont(f, (NUM_WINDOWS, 1))
+    SX = jnp.concatenate([SX[:, 1:], jnp.zeros((NUM_WINDOWS, 1, L), jnp.uint32)], axis=1)
+    SY = jnp.concatenate([SY[:, 1:], one_pad], axis=1)
+    SZ = jnp.concatenate([SZ[:, 1:], jnp.zeros((NUM_WINDOWS, 1, L), jnp.uint32)], axis=1)
+
+    # shapes halve per level -> unrolled python loop (8 instantiations)
+    T3 = (SX, SY, SZ)
+    m_cur = NUM_BUCKETS
+    while m_cur > 1:
+        half = m_cur // 2
+        a = tuple(t[:, :half] for t in T3)
+        b = tuple(t[:, half : 2 * half] for t in T3)
+        T3 = ec_add(spec, a, b)
+        m_cur = half
+    T = tuple(t[:, 0] for t in T3)  # (32, L) each
 
     # -- window join: R = sum_w 2^(8w) T_w, Horner from the top window ----
     R0 = tuple(t[NUM_WINDOWS - 1] for t in T)
@@ -223,3 +243,39 @@ def msm_host(points: jax.Array, scalars_mont: jax.Array, spec: CurveSpec = G1_SP
     """MSM returning a host affine point (or None)."""
     R = msm(points, scalars_mont, spec)
     return decode_points(spec, tuple(r[None] for r in R))[0]
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _msm_many_device(spec: CurveSpec, points, scalars_std_batch, lanes: int):
+    return jax.vmap(lambda s: msm_device(spec, points, s, lanes))(scalars_std_batch)
+
+
+def msm_many_host(points: jax.Array, scalars_mont_list, spec: CurveSpec = G1_SPEC,
+                  max_batch: int = 8):
+    """Batch MSM: many scalar vectors against one point set (the prover's
+    per-round multi-column commitments, SURVEY.md §2.3 "commit all advice
+    columns as one batched MSM"). Returns host affine points."""
+    if not scalars_mont_list:
+        return []
+    N = points.shape[0]
+    n_pow = 1 << max((N - 1).bit_length(), 0) if N > 1 else 1
+    lanes = min(8192, n_pow)
+    pad = n_pow - N
+    pts = points
+    if pad:
+        pts = jnp.concatenate([points, jnp.zeros((pad, 2, L), jnp.uint32)], axis=0)
+    out = []
+    for off in range(0, len(scalars_mont_list), max_batch):
+        chunk = scalars_mont_list[off : off + max_batch]
+        stds = []
+        for s in chunk:
+            std = mont.from_mont(BN254_FR, s)
+            if pad or std.shape[0] < n_pow:
+                std = jnp.concatenate(
+                    [std, jnp.zeros((n_pow - std.shape[0], L), jnp.uint32)], axis=0
+                )
+            stds.append(std)
+        batch = jnp.stack(stds)
+        X, Y, Z = _msm_many_device(spec, pts, batch, lanes)
+        out.extend(decode_points(spec, (X, Y, Z)))
+    return out

@@ -1,1 +1,1 @@
-from .ntt import Domain, intt, ntt
+from .ntt import Domain, intt, intt_many, ntt, ntt_many

@@ -111,6 +111,36 @@ def _n_inv_mont(params: FieldParams, log_n: int) -> jax.Array:
     return mont.encode_ints(params, [pow(1 << log_n, -1, params.p)])
 
 
+def ntt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
+    """Batched forward NTT of equal-length polys (one fused device call)."""
+    if not arrays:
+        return []
+    n = arrays[0].shape[0]
+    log_n = n.bit_length() - 1
+    tw = twiddle_table(params, log_n, False)
+    batch = jnp.stack(arrays)
+    out = jax.vmap(lambda x: _ntt_impl(params, x, tw, log_n))(batch)
+    return [out[i] for i in range(len(arrays))]
+
+
+def intt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
+    """Batched inverse NTT of equal-length polys."""
+    if not arrays:
+        return []
+    n = arrays[0].shape[0]
+    log_n = n.bit_length() - 1
+    tw = twiddle_table(params, log_n, True)
+    ninv = _n_inv_mont(params, log_n)
+    batch = jnp.stack(arrays)
+
+    def one(x):
+        y = _ntt_impl(params, x, tw, log_n)
+        return mont.mont_mul(params, y, jnp.broadcast_to(ninv, y.shape))
+
+    out = jax.vmap(one)(batch)
+    return [out[i] for i in range(len(arrays))]
+
+
 def intt(params: FieldParams, a: jax.Array) -> jax.Array:
     """Inverse NTT: evaluations -> coefficients (natural order)."""
     n = a.shape[0]

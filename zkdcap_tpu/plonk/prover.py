@@ -29,7 +29,7 @@ from ..commit.kzg import ParamsKZG
 from ..commit.shplonk import ProverQuery, shplonk_open
 from ..fields import BN254_FR, mont
 from ..fields.params import NUM_LIMBS
-from ..ntt import intt
+from ..ntt import intt, intt_many
 from ..poly.ops import poly_eval_many, power_table_for
 from ..transcript import TranscriptWriter
 from .cs import ConstraintSystem
@@ -128,9 +128,9 @@ def create_proof(
     advice_lagrange = [
         _blind(a, n, u, blinding_seed, b"adv%d" % i) for i, a in enumerate(advice_values)
     ]
-    advice_coeff = [intt(BN254_FR, a) for a in advice_lagrange]
-    for c in advice_coeff:
-        transcript.write_point(params.commit(c))
+    advice_coeff = intt_many(BN254_FR, advice_lagrange)
+    for pt in params.commit_many(advice_coeff):
+        transcript.write_point(pt)
 
     theta = transcript.squeeze_challenge()
 
@@ -163,8 +163,16 @@ def create_proof(
         lookup_data.append(
             {"a": a_comp, "s": s_comp, "a_perm": a_perm, "s_perm": s_perm}
         )
-        transcript.write_point(params.commit(intt(BN254_FR, a_perm)))
-        transcript.write_point(params.commit(intt(BN254_FR, s_perm)))
+    if lookup_data:
+        perm_lagr = []
+        for ld in lookup_data:
+            perm_lagr.extend([ld["a_perm"], ld["s_perm"]])
+        perm_coeffs = intt_many(BN254_FR, perm_lagr)
+        for li, ld in enumerate(lookup_data):
+            ld["a_perm_coeff"] = perm_coeffs[2 * li]
+            ld["s_perm_coeff"] = perm_coeffs[2 * li + 1]
+        for pt in params.commit_many(perm_coeffs):
+            transcript.write_point(pt)
 
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
@@ -209,8 +217,9 @@ def create_proof(
         last_z_end = z[u]
         z = _blind(z, n, u, blinding_seed, b"permz%d" % (c0 // chunk))
         perm_zs.append(z)
-    for z in perm_zs:
-        transcript.write_point(params.commit(intt(BN254_FR, z)))
+    perm_z_coeff = intt_many(BN254_FR, perm_zs)
+    for pt in params.commit_many(perm_z_coeff):
+        transcript.write_point(pt)
 
     # --- round 4: lookup grand products ----------------------------------
     beta_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [beta]), (n, NUM_LIMBS))
@@ -232,7 +241,12 @@ def create_proof(
         z = _prefix_product_exclusive(ratios)
         z = _blind(z, n, u, blinding_seed, b"lkz%d" % li)
         ld["z"] = z
-        transcript.write_point(params.commit(intt(BN254_FR, z)))
+    if lookup_data:
+        z_coeffs = intt_many(BN254_FR, [ld["z"] for ld in lookup_data])
+        for ld, zc in zip(lookup_data, z_coeffs):
+            ld["z_coeff"] = zc
+        for pt in params.commit_many(z_coeffs):
+            transcript.write_point(pt)
 
     # --- round 5: vanishing random poly ----------------------------------
     random_poly = mont.encode_ints(
@@ -246,8 +260,8 @@ def create_proof(
     h_pieces, all_constraints_ext = _compute_quotient(
         pk, advice_coeff, instance_lagrange, lookup_data, perm_zs, theta, beta, gamma, y
     )
-    for piece in h_pieces:
-        transcript.write_point(params.commit(piece))
+    for pt in params.commit_many(h_pieces):
+        transcript.write_point(pt)
 
     x = transcript.squeeze_challenge()
 
@@ -288,7 +302,6 @@ def create_proof(
     # h combined
     q("h", h_combined, x)
     # permutation zs
-    perm_z_coeff = [intt(BN254_FR, z) for z in perm_zs]
     for c, zc in enumerate(perm_z_coeff):
         q(f"permz{c}", zc, x)
         q(f"permz{c}", zc, point_at(1))
@@ -296,9 +309,6 @@ def create_proof(
             q(f"permz{c}", zc, x * pow(omega, u, R) % R)
     # lookups
     for li, ld in enumerate(lookup_data):
-        ld["z_coeff"] = intt(BN254_FR, ld["z"])
-        ld["a_perm_coeff"] = intt(BN254_FR, ld["a_perm"])
-        ld["s_perm_coeff"] = intt(BN254_FR, ld["s_perm"])
         q(f"lkz{li}", ld["z_coeff"], x)
         q(f"lkz{li}", ld["z_coeff"], point_at(1))
         q(f"lkA{li}", ld["a_perm_coeff"], x)
@@ -479,9 +489,9 @@ def _compute_quotient(
                 a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
                 s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
                 theta_pow = theta_pow * theta % R
-            z_ext = domain.coeff_to_extended(ld["z_coeff"] if "z_coeff" in ld else intt(BN254_FR, ld["z"]))
-            ap_ext = domain.coeff_to_extended(intt(BN254_FR, ld["a_perm"]))
-            sp_ext = domain.coeff_to_extended(intt(BN254_FR, ld["s_perm"]))
+            z_ext = domain.coeff_to_extended(ld["z_coeff"])
+            ap_ext = domain.coeff_to_extended(ld["a_perm_coeff"])
+            sp_ext = domain.coeff_to_extended(ld["s_perm_coeff"])
             z_next = jnp.roll(z_ext, -ratio, axis=0)
             ap_prev = jnp.roll(ap_ext, ratio, axis=0)
             # l_0 * (1 - z)
