@@ -140,6 +140,14 @@ class TranscriptWriter:
 
     def write_point(self, pt):
         self.core.absorb_point(pt)
+        if self.kind == "keccak":
+            # EVM proofs carry uncompressed points (2x32B BE) so the
+            # on-chain verifier needs no sqrt (snark-verifier convention)
+            if pt is None:
+                self.proof += bytes(64)
+            else:
+                self.proof += pt[0].to_bytes(32, "big") + pt[1].to_bytes(32, "big")
+            return
         self.proof += serialize_point(pt)
 
     def write_scalar(self, s: int):
@@ -167,6 +175,21 @@ class TranscriptReader:
         self.core.absorb_scalar(s)
 
     def read_point(self):
+        if self.kind == "keccak":
+            b = self.proof[self.off : self.off + 64]
+            if len(b) < 64:
+                raise ValueError("transcript exhausted")
+            self.off += 64
+            if b == bytes(64):
+                pt = None
+            else:
+                x = int.from_bytes(b[:32], "big")
+                y = int.from_bytes(b[32:], "big")
+                if (y * y - (x * x * x + 3)) % Q != 0:
+                    raise ValueError("point not on curve")
+                pt = (x, y)
+            self.core.absorb_point(pt)
+            return pt
         b = self.proof[self.off : self.off + 32]
         if len(b) < 32:
             raise ValueError("transcript exhausted")
