@@ -81,7 +81,7 @@ def _carry_sweep(s: jax.Array) -> tuple[jax.Array, jax.Array]:
         v = s_i + c
         return v >> W, v & MASK
 
-    c, out = jax.lax.scan(body, jnp.zeros_like(s[..., 0]), s_l, unroll=True)
+    c, out = jax.lax.scan(body, jnp.zeros_like(s[..., 0]), s_l)
     return jnp.moveaxis(out, 0, -1), c
 
 
@@ -100,7 +100,7 @@ def _borrow_sub(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
         d = ai - bi - bw
         return (d >> W) & jnp.uint32(1), d & MASK
 
-    bw, out = jax.lax.scan(body, jnp.zeros_like(a[..., 0]), (a_l, b_l), unroll=True)
+    bw, out = jax.lax.scan(body, jnp.zeros_like(a[..., 0]), (a_l, b_l))
     return jnp.moveaxis(out, 0, -1), bw
 
 
@@ -179,7 +179,7 @@ def mont_mul(params: FieldParams, a: jax.Array, b: jax.Array) -> jax.Array:
         t_new = t_new.at[..., 0].add(c0)
         return t_new, None
 
-    t, _ = jax.lax.scan(round_, t0, a_l, unroll=True)
+    t, _ = jax.lax.scan(round_, t0, a_l)
 
     # Carry sweep: limbs < 2^22 -> canonical 16-bit limbs + overflow bit.
     out, c = _carry_sweep(t)

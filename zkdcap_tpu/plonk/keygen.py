@@ -150,15 +150,28 @@ def _one_hot_poly(domain: Domain, rows: list[int]) -> jax.Array:
 
 
 def permutation_mappings(cs: ConstraintSystem, n: int) -> np.ndarray:
-    """Returns int32[m, n, 2]: (image_col, image_row) for each cell."""
+    """Returns int32[m, n, 2]: (image_col, image_row) for each cell.
+
+    Uses the native C++ union-find (runtime/native.py, built from
+    native/layout.cpp) when available — this is keygen's host hot loop at
+    millions of cells — with a pure-python fallback."""
     m = len(cs.permutation_columns)
     col_of = {c: i for i, c in enumerate(cs.permutation_columns)}
-    uf = _UnionFind(m * n)
-    for (ca, ra), (cb, rb) in cs.copies:
-        ia = col_of[ca] * n + ra
-        ib = col_of[cb] * n + rb
+    copies_arr = np.empty((len(cs.copies), 4), dtype=np.int64)
+    for i, ((ca, ra), (cb, rb)) in enumerate(cs.copies):
         assert ra < n and rb < n
-        uf.union(ia, ib)
+        copies_arr[i] = (col_of[ca], ra, col_of[cb], rb)
+
+    from ..runtime.native import permutation_mapping_native
+
+    native = permutation_mapping_native(m, n, copies_arr)
+    if native is not None:
+        return native
+
+    uf = _UnionFind(m * n)
+    for i in range(copies_arr.shape[0]):
+        ca, ra, cb, rb = (int(v) for v in copies_arr[i])
+        uf.union(ca * n + ra, cb * n + rb)
     groups: dict[int, list[int]] = {}
     for cell in range(m * n):
         groups.setdefault(uf.find(cell), []).append(cell)
