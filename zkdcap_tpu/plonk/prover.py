@@ -103,7 +103,21 @@ def create_proof(
     instances: list[list[int]],
     transcript: TranscriptWriter,
     blinding_seed: bytes = b"zkdcap-blind-v1",
+    timing: bool = False,
 ) -> bytes:
+    """The 9-round pipeline. `timing=True` prints per-phase wall-clock to
+    stderr (ark-std start_timer!/end_timer! analog, SURVEY.md §5.1)."""
+    import sys
+    import time as _time
+
+    _t = [_time.time()]
+
+    def _phase(name):
+        if timing:
+            now = _time.time()
+            print(f"[prover] {name}: {now - _t[0]:.2f}s", file=sys.stderr, flush=True)
+            _t[0] = now
+
     cs = pk.cs
     n = 1 << pk.k
     u = cs.usable_rows(n)
@@ -132,6 +146,7 @@ def create_proof(
     for pt in params.commit_many(advice_coeff):
         transcript.write_point(pt)
 
+    _phase("advice commit")
     theta = transcript.squeeze_challenge()
 
     # --- round 2: lookup permuted columns --------------------------------
@@ -174,6 +189,7 @@ def create_proof(
         for pt in params.commit_many(perm_coeffs):
             transcript.write_point(pt)
 
+    _phase("lookup permute+commit")
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
@@ -221,6 +237,7 @@ def create_proof(
     for pt in params.commit_many(perm_z_coeff):
         transcript.write_point(pt)
 
+    _phase("permutation z")
     # --- round 4: lookup grand products ----------------------------------
     beta_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [beta]), (n, NUM_LIMBS))
     for li, ld in enumerate(lookup_data):
@@ -248,6 +265,7 @@ def create_proof(
         for pt in params.commit_many(z_coeffs):
             transcript.write_point(pt)
 
+    _phase("lookup z")
     # --- round 5: vanishing random poly ----------------------------------
     random_poly = mont.encode_ints(
         BN254_FR, _seeded_rand_ints(blinding_seed + b"rand", n)
@@ -263,6 +281,7 @@ def create_proof(
     for pt in params.commit_many(h_pieces):
         transcript.write_point(pt)
 
+    _phase("quotient")
     x = transcript.squeeze_challenge()
 
     # --- round 7: evaluations --------------------------------------------
@@ -348,8 +367,10 @@ def create_proof(
             continue  # verifier computes expected value itself
         transcript.write_scalar(eval_cache[key])
 
+    _phase("evals")
     # --- round 8: multiopen ----------------------------------------------
     shplonk_open(params, transcript, queries)
+    _phase("multiopen")
     return transcript.finalize()
 
 

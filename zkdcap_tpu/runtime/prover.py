@@ -166,7 +166,7 @@ class ECDSAProver:
 
     # --- proving ----------------------------------------------------------
 
-    def create_proof(self, inp: ECDSAInput, evm: bool = False) -> bytes:
+    def create_proof(self, inp: ECDSAInput, evm: bool = False, timing: bool = True) -> bytes:
         pk = self.keygen()
         trace = build_ecdsa_trace(inp, self.lookup_bits)
         advice_cols = self._builder.witness_columns(self._compiled, trace)
@@ -179,7 +179,7 @@ class ECDSAProver:
         vk_kind = pk.vk.transcript_kind
         pk.vk.transcript_kind = kind
         try:
-            proof = create_proof(self.params(), pk, advice_dev, instances, tw)
+            proof = create_proof(self.params(), pk, advice_dev, instances, tw, timing=timing)
         finally:
             pk.vk.transcript_kind = vk_kind
         return proof
