@@ -169,7 +169,14 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         bZ = jnp.zeros((NUM_BUCKETS + 1, L), jnp.uint32).at[slot].set(cZ)[:NUM_BUCKETS]
         return bX, bY, bZ
 
-    bX, bY, bZ = jax.lax.map(window_fn, digits)  # (32, 256, L) each
+    # windows processed in vmapped groups: WINDOW_PAR x wider per-step work,
+    # WINDOW_PAR x fewer sequential steps (the fori scan dominates latency)
+    window_par = 8
+    dgroups = digits.reshape(NUM_WINDOWS // window_par, window_par, N)
+    bX, bY, bZ = jax.lax.map(lambda d: jax.vmap(window_fn)(d), dgroups)
+    bX = bX.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
+    bY = bY.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
+    bZ = bZ.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
 
     # -- stage 5: log-depth aggregation: sum_d d*B_d = sum_{d>=1} S_d where
     # S_d = suffix sums of buckets — a Hillis-Steele suffix scan (8 wide EC
@@ -229,7 +236,7 @@ def msm(points: jax.Array, scalars_mont: jax.Array, spec: CurveSpec = G1_SPEC):
     N = points.shape[0]
     scalars_std = mont.from_mont(BN254_FR, scalars_mont)
     n_pow = 1 << max((N - 1).bit_length(), 0) if N > 1 else 1
-    lanes = min(8192, n_pow)
+    lanes = min(16384, n_pow)
     pad = n_pow - N
     if pad:
         points = jnp.concatenate([points, jnp.zeros((pad, 2, L), jnp.uint32)], axis=0)
@@ -259,7 +266,7 @@ def msm_many_host(points: jax.Array, scalars_mont_list, spec: CurveSpec = G1_SPE
         return []
     N = points.shape[0]
     n_pow = 1 << max((N - 1).bit_length(), 0) if N > 1 else 1
-    lanes = min(8192, n_pow)
+    lanes = min(16384, n_pow)
     pad = n_pow - N
     pts = points
     if pad:
