@@ -78,11 +78,33 @@ def _ntt_impl(params: FieldParams, a: jax.Array, tw: jax.Array, log_n: int) -> j
 
     One bit-reversal gather up front, then every stage is static-strided
     slicing — no data-dependent gathers, which on TPU are ~100x slower
-    than the contiguous loads XLA emits for reshapes."""
+    than the contiguous loads XLA emits for reshapes. Large sizes run the
+    fused Pallas butterfly kernel in limb-major layout (one VMEM pass per
+    stage instead of the scan's per-round materialisation)."""
     n = 1 << log_n
     L = a.shape[-1]
     perm = jnp.asarray(bit_reverse_perm(log_n))
     a = jnp.take(a, perm, axis=0)
+
+    from ..fields.pallas_mont import BLOCK, butterfly
+
+    if (n // 2) % BLOCK == 0 and jax.default_backend() == "tpu":
+        at = a.T  # (L, n) limb-major for the kernel
+        for s in range(log_n):
+            m = 1 << s
+            stride = n >> (s + 1)
+            w_stage = tw[::stride][:m]  # (m, L)
+            A = at.reshape(L, n // (2 * m), 2, m)
+            lo = A[:, :, 0, :].reshape(L, n // 2)
+            hi = A[:, :, 1, :].reshape(L, n // 2)
+            w_t = jnp.tile(w_stage.T, (1, n // (2 * m)))  # (L, n//2)
+            plus, minus = butterfly(params, lo, hi, w_t)
+            at = jnp.stack(
+                [plus.reshape(L, n // (2 * m), m), minus.reshape(L, n // (2 * m), m)],
+                axis=2,
+            ).reshape(L, n)
+        return at.T
+
     for s in range(log_n):
         m = 1 << s
         stride = n >> (s + 1)
@@ -120,7 +142,8 @@ def ntt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
     log_n = n.bit_length() - 1
     tw = twiddle_table(params, log_n, False)
     batch = jnp.stack(arrays)
-    out = jax.vmap(lambda x: _ntt_impl(params, x, tw, log_n))(batch)
+    # lax.map (not vmap): the body may contain a pallas_call
+    out = jax.lax.map(lambda x: _ntt_impl(params, x, tw, log_n), batch)
     return [out[i] for i in range(len(arrays))]
 
 
@@ -138,7 +161,7 @@ def intt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
         y = _ntt_impl(params, x, tw, log_n)
         return mont.mont_mul(params, y, jnp.broadcast_to(ninv, y.shape))
 
-    out = jax.vmap(one)(batch)
+    out = jax.lax.map(one, batch)
     return [out[i] for i in range(len(arrays))]
 
 
