@@ -235,6 +235,25 @@ def mont_inv(params: FieldParams, a: jax.Array) -> jax.Array:
     return mont_pow(params, a, params.p - 2)
 
 
+@partial(jax.jit, static_argnums=0)
+def batch_inv(params: FieldParams, x: jax.Array) -> jax.Array:
+    """Montgomery batch-inversion trick over the leading axis of (N, L).
+
+    ~3 multiplications per element (two scans + two pointwise muls) plus a
+    single Fermat inversion of the total product — ~100x cheaper than
+    elementwise Fermat for the prover's grand-product denominators.
+    ALL elements must be nonzero."""
+    mul = lambda a, b: mont_mul(params, a, b)
+    prefix = jax.lax.associative_scan(mul, x, axis=0)  # inclusive prods
+    suffix = jax.lax.associative_scan(mul, x, axis=0, reverse=True)
+    total_inv = mont_inv(params, prefix[-1])  # one Fermat on one element
+    one = one_mont(params, (1,))
+    pre_shift = jnp.concatenate([one, prefix[:-1]], axis=0)  # prod before i
+    suf_shift = jnp.concatenate([suffix[1:], one], axis=0)  # prod after i
+    ti = jnp.broadcast_to(total_inv, x.shape)
+    return mul(mul(pre_shift, suf_shift), ti)
+
+
 def is_zero(a: jax.Array) -> jax.Array:
     return jnp.all(a == 0, axis=-1)
 

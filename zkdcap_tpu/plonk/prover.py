@@ -58,8 +58,13 @@ def _blind(col: jax.Array, n: int, u: int, seed: bytes, tag: bytes) -> jax.Array
     return col.at[u + 1 :].set(vals)
 
 
-def _batch_inv(x: jax.Array) -> jax.Array:
-    return mont.mont_inv(BN254_FR, x)
+def _batch_inv(x: jax.Array, n_active: int) -> jax.Array:
+    """Batch inverse of the first n_active rows (rest replaced by 1 so the
+    product trick never meets a zero from blinding-row garbage)."""
+    n = x.shape[0]
+    mask = (jnp.arange(n) < n_active)[:, None]
+    safe = jnp.where(mask, x, mont.one_mont(BN254_FR, (n,)))
+    return mont.batch_inv(BN254_FR, safe)
 
 
 def _prefix_product_exclusive(ratios: jax.Array) -> jax.Array:
@@ -220,7 +225,7 @@ def create_proof(
             dterm = mont.add(BN254_FR, mont.add(BN254_FR, vals, sterm), gamma_b)
             num = nterm if num is None else mont.mont_mul(BN254_FR, num, nterm)
             den = dterm if den is None else mont.mont_mul(BN254_FR, den, dterm)
-        ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den))
+        ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den, u))
         # rows >= u contribute nothing (z defined through row u)
         onem = mont.one_mont(BN254_FR, (n,))
         mask = (jnp.arange(n) < u)[:, None]
@@ -251,7 +256,7 @@ def create_proof(
             mont.add(BN254_FR, ld["a_perm"], beta_b),
             mont.add(BN254_FR, ld["s_perm"], gamma_b),
         )
-        ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den))
+        ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den, u))
         onem = mont.one_mont(BN254_FR, (n,))
         mask = (jnp.arange(n) < u)[:, None]
         ratios = jnp.where(mask, ratios, onem)
