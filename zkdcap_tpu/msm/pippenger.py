@@ -258,7 +258,7 @@ def _msm_many_device(spec: CurveSpec, points, scalars_std_batch, lanes: int):
 
 
 def msm_many_host(points: jax.Array, scalars_mont_list, spec: CurveSpec = G1_SPEC,
-                  max_batch: int = 8):
+                  max_batch: int = 4):
     """Batch MSM: many scalar vectors against one point set (the prover's
     per-round multi-column commitments, SURVEY.md §2.3 "commit all advice
     columns as one batched MSM"). Returns host affine points."""

@@ -195,6 +195,7 @@ def create_proof(
             transcript.write_point(pt)
 
     _phase("lookup permute+commit")
+    del ev_row  # frees cached row-domain evaluations (HBM pressure)
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
@@ -267,6 +268,8 @@ def create_proof(
         z_coeffs = intt_many(BN254_FR, [ld["z"] for ld in lookup_data])
         for ld, zc in zip(lookup_data, z_coeffs):
             ld["z_coeff"] = zc
+            # lagrange forms are no longer needed; free HBM before quotient
+            del ld["a"], ld["s"], ld["a_perm"], ld["s_perm"], ld["z"]
         for pt in params.commit_many(z_coeffs):
             transcript.write_point(pt)
 
@@ -281,7 +284,7 @@ def create_proof(
 
     # --- round 6: quotient ------------------------------------------------
     h_pieces, all_constraints_ext = _compute_quotient(
-        pk, advice_coeff, instance_lagrange, lookup_data, perm_zs, theta, beta, gamma, y
+        pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y
     )
     for pt in params.commit_many(h_pieces):
         transcript.write_point(pt)
@@ -384,7 +387,7 @@ def _compute_quotient(
     advice_coeff,
     instance_lagrange,
     lookup_data,
-    perm_zs,
+    perm_z_coeff,
     theta: int,
     beta: int,
     gamma: int,
@@ -438,7 +441,7 @@ def _compute_quotient(
     if m:
         chunk = cs.permutation_chunk_len
         # extended evals of z polys
-        zs_ext = [domain.coeff_to_extended(intt(BN254_FR, z)) for z in perm_zs]
+        zs_ext = [domain.coeff_to_extended(zc) for zc in perm_z_coeff]
         # l_0 * (1 - z_0)
         add_constraint(
             mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, one_ext, zs_ext[0]))
