@@ -76,6 +76,22 @@ def params(tmp_path_factory):
     return ParamsKZG(srs=gen_srs(K, cache_dir=str(cache)))
 
 
+def test_prove_verify_poseidon_and_keccak(params):
+    """Stack-B transcript parity: the same circuit proves under the
+    Poseidon (native) and Keccak (EVM, uncompressed points) transcripts."""
+    from zkdcap_tpu.plonk.keygen import keygen as kg
+
+    cs, _ = build_cs()
+    q_vals, t_vals, a_vals, b_vals, c_vals, inst = witness()
+    for kind in ("poseidon", "keccak"):
+        pk = kg(params, cs, [q_vals, t_vals], transcript_kind=kind)
+        advice_dev = [mont.encode_ints(BN254_FR, col) for col in (a_vals, b_vals, c_vals)]
+        tw = TranscriptWriter(kind)
+        proof = create_proof(params, pk, advice_dev, [inst], tw)
+        assert verify_proof(params, pk.vk, [inst], proof)
+        assert not verify_proof(params, pk.vk, [[9]], proof)
+
+
 def test_prove_verify(params):
     cs, _ = build_cs()
     q_vals, t_vals, a_vals, b_vals, c_vals, inst = witness()
