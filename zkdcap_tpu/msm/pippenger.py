@@ -274,6 +274,7 @@ def msm_many_host(points: jax.Array, scalars_mont_list, spec: CurveSpec = G1_SPE
     out = []
     for off in range(0, len(scalars_mont_list), max_batch):
         chunk = scalars_mont_list[off : off + max_batch]
+        n_real = len(chunk)
         stds = []
         for s in chunk:
             std = mont.from_mont(BN254_FR, s)
@@ -282,7 +283,11 @@ def msm_many_host(points: jax.Array, scalars_mont_list, spec: CurveSpec = G1_SPE
                     [std, jnp.zeros((n_pow - std.shape[0], L), jnp.uint32)], axis=0
                 )
             stds.append(std)
+        # pad the batch to max_batch with zero scalars: ONE compiled shape
+        # for every round's commitments instead of one per batch size
+        while len(stds) < max_batch:
+            stds.append(jnp.zeros((n_pow, L), jnp.uint32))
         batch = jnp.stack(stds)
         X, Y, Z = _msm_many_device(spec, pts, batch, lanes)
-        out.extend(decode_points(spec, (X, Y, Z)))
+        out.extend(decode_points(spec, (X, Y, Z))[:n_real])
     return out

@@ -134,6 +134,18 @@ def _n_inv_mont(params: FieldParams, log_n: int) -> jax.Array:
     return mont.encode_ints(params, [pow(1 << log_n, -1, params.p)])
 
 
+def _pad_batch(arrays: list[jax.Array], quantum: int = 4) -> list[jax.Array]:
+    """Pad a poly batch to a multiple of `quantum` with zero polys so the
+    compiled program shape is reused across rounds/batch sizes."""
+    n, L_ = arrays[0].shape
+    out = list(arrays)
+    import jax.numpy as _jnp
+
+    while len(out) % quantum:
+        out.append(_jnp.zeros((n, L_), _jnp.uint32))
+    return out
+
+
 def ntt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
     """Batched forward NTT of equal-length polys (one fused device call)."""
     if not arrays:
@@ -141,7 +153,8 @@ def ntt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
     n = arrays[0].shape[0]
     log_n = n.bit_length() - 1
     tw = twiddle_table(params, log_n, False)
-    batch = jnp.stack(arrays)
+    padded = _pad_batch(arrays)
+    batch = jnp.stack(padded)
     # lax.map (not vmap): the body may contain a pallas_call
     out = jax.lax.map(lambda x: _ntt_impl(params, x, tw, log_n), batch)
     return [out[i] for i in range(len(arrays))]
@@ -155,7 +168,8 @@ def intt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
     log_n = n.bit_length() - 1
     tw = twiddle_table(params, log_n, True)
     ninv = _n_inv_mont(params, log_n)
-    batch = jnp.stack(arrays)
+    padded = _pad_batch(arrays)
+    batch = jnp.stack(padded)
 
     def one(x):
         y = _ntt_impl(params, x, tw, log_n)
