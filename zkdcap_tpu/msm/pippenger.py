@@ -77,8 +77,11 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
 
     idxN = jnp.arange(N, dtype=jnp.int32)
     idxK = jnp.arange(K, dtype=jnp.int32)
+    window_par = 8
+    WP = window_par
+    from ..curves.ec_kernels import ec_add_select
 
-    def window_fn(d_w):
+    def sort_part(d_w):
         order = jnp.argsort(d_w)
         d = jnp.take(d_w, order)
         X = jnp.take(Px, order, axis=0)
@@ -88,41 +91,10 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         Xp = jnp.where(valid[:, None], X, 0)
         Yp = jnp.where(valid[:, None], Y, one)
         Zp = jnp.where(valid[:, None], one, 0)
+        return Xp, Yp, Zp, d
 
-        Xl = Xp.reshape(G, M, L)
-        Yl = Yp.reshape(G, M, L)
-        Zl = Zp.reshape(G, M, L)
-        dl = d.reshape(G, M)
-
-        # -- stage 2: per-lane sequential segmented scan ------------------
-        outX0 = jnp.zeros((G, M, L), jnp.uint32)
-        acc0 = ec_inf(spec, (G,))
-
-        def step(j, carry):
-            (aX, aY, aZ), (oX, oY, oZ) = carry
-            Pj = (
-                jax.lax.dynamic_index_in_dim(Xl, j, 1, keepdims=False),
-                jax.lax.dynamic_index_in_dim(Yl, j, 1, keepdims=False),
-                jax.lax.dynamic_index_in_dim(Zl, j, 1, keepdims=False),
-            )
-            dj = jax.lax.dynamic_index_in_dim(dl, j, 1, keepdims=False)
-            dprev = jax.lax.dynamic_index_in_dim(dl, jnp.maximum(j - 1, 0), 1, keepdims=False)
-            same = jnp.logical_and(j > 0, dj == dprev)
-            s = ec_add(spec, (aX, aY, aZ), Pj)
-            new = ec_select(same, s, Pj)
-            oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 1)
-            oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 1)
-            oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 1)
-            return (new, (oX, oY, oZ))
-
-        _, (oX, oY, oZ) = jax.lax.fori_loop(
-            0, M, step, (acc0, (outX0, outX0, outX0))
-        )
-        sX = oX.reshape(N, L)
-        sY = oY.reshape(N, L)
-        sZ = oZ.reshape(N, L)
-
-        # -- stage 3: compact run partials, log-depth combine --------------
+    def compact_part(sX, sY, sZ, d):
+        # -- stage 3a: compact run partials via top_k ----------------------
         is_lane_end = (idxN % M) == (M - 1)
         d_next = jnp.concatenate([d[1:], jnp.full((1,), -1, jnp.int32)])
         is_end = jnp.logical_or(is_lane_end, d != d_next)
@@ -139,24 +111,9 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         vX = jnp.where(dead[:, None], 0, vX)
         vY = jnp.where(dead[:, None], one_k, vY)
         vZ = jnp.where(dead[:, None], 0, vZ)
+        return vX, vY, vZ, vd
 
-        n_levels = max((K - 1).bit_length(), 1)
-
-        def level(s, carry):
-            (cX, cY, cZ) = carry
-            shift = jnp.left_shift(jnp.int32(1), s)
-            prev = jnp.maximum(idxK - shift, 0)
-            pX = jnp.take(cX, prev, axis=0)
-            pY = jnp.take(cY, prev, axis=0)
-            pZ = jnp.take(cZ, prev, axis=0)
-            pd = jnp.take(vd, prev)
-            ok = jnp.logical_and(idxK >= shift, pd == vd)
-            ok = jnp.logical_and(ok, vd != 0)
-            summed = ec_add(spec, (cX, cY, cZ), (pX, pY, pZ))
-            return ec_select(ok, summed, (cX, cY, cZ))
-
-        cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (vX, vY, vZ))
-
+    def deposit_part(cX, cY, cZ, vd):
         # -- stage 4: deposit group totals into dense buckets --------------
         vd_next = jnp.concatenate([vd[1:], jnp.full((1,), -1, jnp.int32)])
         is_last = vd != vd_next
@@ -169,11 +126,90 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         bZ = jnp.zeros((NUM_BUCKETS + 1, L), jnp.uint32).at[slot].set(cZ)[:NUM_BUCKETS]
         return bX, bY, bZ
 
-    # windows processed in vmapped groups: WINDOW_PAR x wider per-step work,
-    # WINDOW_PAR x fewer sequential steps (the fori scan dominates latency)
-    window_par = 8
+    def group_fn(d_grp):
+        # (WP, N) digits -> (WP, 256) buckets. The EC-heavy stages run on
+        # merged (WP*G) lanes through the fused pallas add kernel.
+        Xp, Yp, Zp, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x3, (WP, N)
+
+        Xl = Xp.reshape(WP, G, M, L)
+        Yl = Yp.reshape(WP, G, M, L)
+        Zl = Zp.reshape(WP, G, M, L)
+        dl = d.reshape(WP, G, M)
+
+        # -- stage 2: per-lane segmented scan (kernelized EC adds) ---------
+        out0 = jnp.zeros((WP, G, M, L), jnp.uint32)
+        iX, iY, iZ = ec_inf(spec, (WP * G,))
+
+        def step(j, carry):
+            (aX, aY, aZ), (oX, oY, oZ) = carry
+            Pj = tuple(
+                jax.lax.dynamic_index_in_dim(arr, j, 2, keepdims=False).reshape(WP * G, L)
+                for arr in (Xl, Yl, Zl)
+            )
+            dj = jax.lax.dynamic_index_in_dim(dl, j, 2, keepdims=False).reshape(WP * G)
+            dp = jax.lax.dynamic_index_in_dim(
+                dl, jnp.maximum(j - 1, 0), 2, keepdims=False
+            ).reshape(WP * G)
+            same = jnp.logical_and(j > 0, dj == dp)
+            new = ec_add_select(spec, (aX, aY, aZ), Pj, same, fallback="q")
+            oX = jax.lax.dynamic_update_index_in_dim(
+                oX, new[0].reshape(WP, G, L), j, 2
+            )
+            oY = jax.lax.dynamic_update_index_in_dim(
+                oY, new[1].reshape(WP, G, L), j, 2
+            )
+            oZ = jax.lax.dynamic_update_index_in_dim(
+                oZ, new[2].reshape(WP, G, L), j, 2
+            )
+            return (new, (oX, oY, oZ))
+
+        _, (oX, oY, oZ) = jax.lax.fori_loop(
+            0, M, step, ((iX, iY, iZ), (out0, out0, out0))
+        )
+        sX = oX.reshape(WP, N, L)
+        sY = oY.reshape(WP, N, L)
+        sZ = oZ.reshape(WP, N, L)
+
+        vX, vY, vZ, vd = jax.vmap(compact_part)(sX, sY, sZ, d)  # (WP, K, ...)
+
+        # -- stage 3b: segmented Hillis-Steele on merged lanes -------------
+        # dead prefix blocks for the shifted reads: identity points, digit 0
+        padX = jnp.zeros((WP, K, L), jnp.uint32)
+        padY = jnp.broadcast_to(mont.one_mont(f, (WP, K)), (WP, K, L))
+        padZ = jnp.zeros((WP, K, L), jnp.uint32)
+        padd = jnp.zeros((WP, K), jnp.int32)
+        idxK2 = jnp.arange(K, dtype=jnp.int32)
+        n_levels = max((K - 1).bit_length(), 1)
+
+        def level(s, carry):
+            cX, cY, cZ = carry
+            shift = jnp.left_shift(jnp.int32(1), s)
+            start = K - shift
+
+            def shifted(arr, pad):
+                big = jnp.concatenate([pad, arr], axis=1)
+                return jax.lax.dynamic_slice_in_dim(big, start, K, axis=1)
+
+            pXs = shifted(cX, padX)
+            pYs = shifted(cY, padY)
+            pZs = shifted(cZ, padZ)
+            pds = shifted(vd, padd)
+            ok = jnp.logical_and(idxK2[None, :] >= shift, pds == vd)
+            ok = jnp.logical_and(ok, vd != 0)
+            new = ec_add_select(
+                spec,
+                tuple(c.reshape(WP * K, L) for c in (cX, cY, cZ)),
+                tuple(c.reshape(WP * K, L) for c in (pXs, pYs, pZs)),
+                ok.reshape(WP * K),
+                fallback="p",
+            )
+            return tuple(c.reshape(WP, K, L) for c in new)
+
+        cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (vX, vY, vZ))
+        return jax.vmap(deposit_part)(cX, cY, cZ, vd)
+
     dgroups = digits.reshape(NUM_WINDOWS // window_par, window_par, N)
-    bX, bY, bZ = jax.lax.map(lambda d: jax.vmap(window_fn)(d), dgroups)
+    bX, bY, bZ = jax.lax.map(group_fn, dgroups)
     bX = bX.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
     bY = bY.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
     bZ = bZ.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
@@ -185,6 +221,8 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
     S = (bX, bY, bZ)
     idxB = jnp.arange(NUM_BUCKETS, dtype=jnp.int32)
 
+    from ..curves.ec_kernels import ec_add_select as _eas
+
     def suffix_level(s, carry):
         cX, cY, cZ = carry
         shift = jnp.left_shift(jnp.int32(1), s)
@@ -193,8 +231,10 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         nZ = jnp.roll(cZ, -shift, axis=1)
         valid = (idxB + shift) < NUM_BUCKETS  # (256,)
         vb = jnp.broadcast_to(valid[None, :], cX.shape[:2])
-        summed = ec_add(spec, (cX, cY, cZ), (nX, nY, nZ))
-        return ec_select(vb, summed, (cX, cY, cZ))
+        flatP = tuple(c.reshape(-1, L) for c in (cX, cY, cZ))
+        flatQ = tuple(c.reshape(-1, L) for c in (nX, nY, nZ))
+        new = _eas(spec, flatP, flatQ, vb.reshape(-1), fallback="p")
+        return tuple(c.reshape(cX.shape) for c in new)
 
     S = jax.lax.fori_loop(0, WINDOW_BITS, suffix_level, S)
     # zero out bucket 0 (digit 0 contributes nothing): drop index 0, then
