@@ -167,13 +167,26 @@ class ECDSAProver:
     # --- proving ----------------------------------------------------------
 
     def create_proof(self, inp: ECDSAInput, evm: bool = False, timing: bool = True) -> bytes:
+        import sys
+        import time
+
+        def _p(name, t0):
+            if timing:
+                print(f"[runtime] {name}: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
+            return time.time()
+
+        t = time.time()
         pk = self.keygen()
+        t = _p("keygen(cached)", t)
         trace = build_ecdsa_trace(inp, self.lookup_bits)
+        t = _p("witness trace", t)
         advice_cols = self._builder.witness_columns(self._compiled, trace)
+        t = _p("witness fill", t)
         instances = self._builder.instance_values(trace)
         assert instances and len(instances[0]) == 15, "expected 15 public instances"
         assert instances[0] == inp.as_instances()
         advice_dev = [mont.encode_ints(BN254_FR, col) for col in advice_cols]
+        t = _p("device encode", t)
         kind = "keccak" if evm else self.transcript_kind
         tw = TranscriptWriter(kind)
         vk_kind = pk.vk.transcript_kind
