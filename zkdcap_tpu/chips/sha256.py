@@ -309,6 +309,124 @@ class Sha256Chip:
 
     # --- digest ------------------------------------------------------------
 
+    def digest_bytes_dynamic(
+        self,
+        byte_cells: list[int],
+        byte_vals: list[int],
+        len_cell: int,
+        len_val: int,
+        max_len: int,
+    ) -> list[tuple[int, int]]:
+        """SHA-256 of a variable-length message (length is a WITNESS).
+
+        The reference chip's dynamic mode (`Sha256DynamicConfig::digest(ctx,
+        input, Some(len))` with max_byte_sizes, SURVEY.md §2.2 D-SHA): the
+        circuit shape depends only on `max_len`; `len_cell` selects, in
+        circuit, (a) the padded message bytes and (b) which block's chaining
+        state is the digest. Cost: ~2 byte-comparisons per position plus a
+        num_blocks-way state select.
+        """
+        g = self.gate
+        ctx = self.ctx
+        assert len(byte_cells) == max_len == len(byte_vals)
+        assert 0 <= len_val <= max_len
+        n_blocks = (max_len + 8) // 64 + 1
+        total = 64 * n_blocks
+
+        # bit-length as 8 BE bytes, bound to len_cell
+        bl = (8 * len_val).to_bytes(8, "big")
+        len_bytes = []
+        for j, bv in enumerate(bl):
+            c = ctx.push(bv)
+            self.rc.range_check(c, 8)
+            len_bytes.append((c, bv))
+        recon = g.inner_product_const(
+            [c for c, _ in len_bytes], [1 << (8 * (7 - j)) for j in range(8)]
+        )
+        eight_len = g.mul_const(len_cell, 8)
+        g.assert_equal(recon, eight_len)
+
+        # final-block index fb = (len + 8) // 64, r = (len + 8) % 64
+        fb_val, r_val = divmod(len_val + 8, 64)
+        fb = ctx.push(fb_val)
+        rr = ctx.push(r_val)
+        self.rc.range_check(fb, max(n_blocks.bit_length(), 1))
+        self.rc.range_check(rr, 6)
+        recon2 = g.mul_const_add(fb, 64, rr)
+        g.assert_equal(recon2, g.add_const(len_cell, 8))
+
+        # padded message: for each position i select message/0x80/len/zero
+        cells, vals = [], []
+        zero_c = ctx.constant(0)
+        for i in range(total):
+            if i < max_len:
+                lt = self.rc.is_less_than(
+                    ctx.constant(i), len_cell, max(max_len.bit_length() + 1, 8)
+                )
+                eq = g.is_equal(ctx.constant(i), len_cell)
+                # v = lt * msg + eq * 0x80 (+ length-field contribution below)
+                v = g.mul_add(lt, byte_cells[i], g.mul_const(eq, 0x80))
+                val = (byte_vals[i] if i < len_val else 0) + (0x80 if i == len_val else 0)
+            else:
+                eq = g.is_equal(ctx.constant(i), len_cell)
+                v = g.mul_const(eq, 0x80)
+                val = 0x80 if i == len_val else 0
+            # length field: position i belongs to block floor(i/64) at offset
+            # i%64; it carries len_bytes[j] iff i = 64*(fb+1) - 8 + j
+            off = i % 64
+            if off >= 56:
+                j = off - 56
+                blk_of_i = i // 64
+                in_len_field = g.is_equal(fb, ctx.constant(blk_of_i))
+                v = g.mul_add(in_len_field, len_bytes[j][0], v)
+                if blk_of_i == fb_val:
+                    val += bl[j]
+            cells.append(v)
+            vals.append(val)
+            assert val < 256
+
+        states = self._compress_blocks(cells, vals)
+        # select the state after block fb (i.e. states[fb + 1 - 1] post-chain):
+        # digest = state after processing blocks 0..fb inclusive
+        out_words = []
+        for wi in range(8):
+            acc = None
+            val_sel = 0
+            for b in range(n_blocks):
+                eq = g.is_equal(fb, ctx.constant(b))
+                term = g.mul(eq, states[b][wi].dense)
+                acc = term if acc is None else g.add(acc, term)
+                if b == fb_val:
+                    val_sel = states[b][wi].value
+            out_words.append(_Word(acc, val_sel))
+        return self._words_to_bytes(out_words)
+
+    def _compress_blocks(self, cells: list[int], vals: list[int]):
+        """Run compression over every 64-byte block; returns the list of
+        chaining states AFTER each block."""
+        g = self.gate
+        state = [self.const_word(h) for h in H_INIT]
+        states_after = []
+        for blk in range(len(cells) // 64):
+            state = self._compress_one(
+                cells[64 * blk : 64 * (blk + 1)], vals[64 * blk : 64 * (blk + 1)], state
+            )
+            states_after.append(state)
+        return states_after
+
+    def _words_to_bytes(self, words) -> list[tuple[int, int]]:
+        g = self.gate
+        out = []
+        for wrd in words:
+            bvals = [(wrd.value >> s) & 0xFF for s in (24, 16, 8, 0)]
+            bcells = [self.ctx.push(v) for v in bvals]
+            for bc in bcells:
+                self.rc.range_check(bc, 8)
+            recon = g.inner_product_const(bcells, [1 << 24, 1 << 16, 1 << 8, 1])
+            g.assert_equal(recon, wrd.dense)
+            out.extend(zip(bcells, bvals))
+        return out
+
     def digest_bytes(self, byte_cells: list[int], byte_vals: list[int]) -> list[tuple[int, int]]:
         """SHA-256 of a fixed-length byte-cell message.
 
@@ -328,50 +446,38 @@ class Sha256Chip:
         vals = list(byte_vals) + pad
         assert len(cells) % 64 == 0
 
-        state = [self.const_word(h) for h in H_INIT]
-        state_vals_known = True
-        for blk in range(len(cells) // 64):
-            block_cells = cells[64 * blk : 64 * (blk + 1)]
-            block_vals = vals[64 * blk : 64 * (blk + 1)]
-            w_words = []
-            for i in range(16):
-                bc = block_cells[4 * i : 4 * i + 4]
-                bv = block_vals[4 * i : 4 * i + 4]
-                word_cell = g.inner_product_const(bc, [1 << 24, 1 << 16, 1 << 8, 1])
-                word_val = (bv[0] << 24) | (bv[1] << 16) | (bv[2] << 8) | bv[3]
-                w_words.append(self.word_from_cell(word_cell, word_val))
-            for t in range(16, 64):
-                s0 = self.sigma0(w_words[t - 15])
-                s1 = self.sigma1(w_words[t - 2])
-                w_words.append(self.add_mod32([s1, w_words[t - 7], s0, w_words[t - 16]]))
+        states = self._compress_blocks(cells, vals)
+        return self._words_to_bytes(states[-1])
 
-            a, b, c, d, e, f, gg, h = state
-            for t in range(64):
-                S1 = self.Sigma1(e)
-                ch = self.ch(e, f, gg)
-                t1 = self.add_mod32([h, S1, ch, w_words[t]], [K_CONSTS[t]])
-                S0 = self.Sigma0(a)
-                mj = self.maj(a, b, c)
-                t2 = self.add_mod32([S0, mj])
-                h, gg, f = gg, f, e
-                e = self.add_mod32([d, t1])
-                d, c, b = c, b, a
-                a = self.add_mod32([t1, t2])
-            state = [
-                self.add_mod32([x, y]) for x, y in zip(state, [a, b, c, d, e, f, gg, h])
-            ]
+    def _compress_one(self, block_cells, block_vals, state):
+        g = self.gate
+        w_words = []
+        for i in range(16):
+            bc = block_cells[4 * i : 4 * i + 4]
+            bv = block_vals[4 * i : 4 * i + 4]
+            word_cell = g.inner_product_const(bc, [1 << 24, 1 << 16, 1 << 8, 1])
+            word_val = (bv[0] << 24) | (bv[1] << 16) | (bv[2] << 8) | bv[3]
+            w_words.append(self.word_from_cell(word_cell, word_val))
+        for t in range(16, 64):
+            s0 = self.sigma0(w_words[t - 15])
+            s1 = self.sigma1(w_words[t - 2])
+            w_words.append(self.add_mod32([s1, w_words[t - 7], s0, w_words[t - 16]]))
 
-        # digest words -> bytes
-        out = []
-        for wrd in state:
-            bvals = [(wrd.value >> s) & 0xFF for s in (24, 16, 8, 0)]
-            bcells = [self.ctx.push(v) for v in bvals]
-            for bc in bcells:
-                self.rc.range_check(bc, 8)
-            recon = g.inner_product_const(bcells, [1 << 24, 1 << 16, 1 << 8, 1])
-            g.assert_equal(recon, wrd.dense)
-            out.extend(zip(bcells, bvals))
-        return out
+        a, b, c, d, e, f, gg, h = state
+        for t in range(64):
+            S1 = self.Sigma1(e)
+            ch = self.ch(e, f, gg)
+            t1 = self.add_mod32([h, S1, ch, w_words[t]], [K_CONSTS[t]])
+            S0 = self.Sigma0(a)
+            mj = self.maj(a, b, c)
+            t2 = self.add_mod32([S0, mj])
+            h, gg, f = gg, f, e
+            e = self.add_mod32([d, t1])
+            d, c, b = c, b, a
+            a = self.add_mod32([t1, t2])
+        return [
+            self.add_mod32([x, y]) for x, y in zip(state, [a, b, c, d, e, f, gg, h])
+        ]
 
 
 # QuantumCell aliases used inside the chip
