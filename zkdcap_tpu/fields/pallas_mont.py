@@ -145,3 +145,173 @@ def butterfly(params: FieldParams, lo_t: jax.Array, hi_t: jax.Array, w_t: jax.Ar
 
 def ntt_stage_supported(n_half: int) -> bool:
     return n_half % BLOCK == 0
+
+
+# --- fused low-stage NTT pass ----------------------------------------------
+#
+# After the global bit-reversal, DIT stages s with span 2^(s+1) <= C are
+# chunk-local AND share their twiddles across chunks. This kernel runs all
+# of them in one VMEM residency per chunk: per stage, one CIOS multiply by a
+# precomputed full-width twiddle vector (Montgomery ONE at lo positions, so
+# lo lanes pass through), two pltpu.rolls to exchange butterfly partners,
+# and a masked add/sub.
+
+FUSED_CHUNK = 2048
+FUSED_STAGES = 11  # log2(FUSED_CHUNK)
+
+
+def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_limbs = [int(v) for v in params.p_limbs]
+    n0inv = params.n0inv
+
+    def kernel(x_ref, tw_ref, hi_ref, out_ref):
+        # x_ref: (L, chunk); tw_ref: (n_stages, L, chunk); hi_ref: (n_stages, 1, chunk)
+        # rows kept 2D (1, chunk): 1D vectors don't lower (tpu.dynamic_rotate)
+        x = [x_ref[i : i + 1, :] for i in range(L)]
+        zero = jnp.zeros_like(x[0])
+
+        def cios(a, b):
+            t = [zero] * L
+            for i in range(L):
+                prod = [a[i] * b[j] for j in range(L)]
+                plos = [pr & MASK for pr in prod]
+                phis = [pr >> W for pr in prod]
+                u0 = t[0] + plos[0]
+                m = (u0 * n0inv) & MASK
+                q = [m * pj for pj in p_limbs]
+                qlo = [qq & MASK for qq in q]
+                qhi = [qq >> W for qq in q]
+                c0 = (u0 + qlo[0]) >> W
+                nt = []
+                for j in range(L):
+                    v = phis[j] + qhi[j]
+                    if j + 1 < L:
+                        v = v + t[j + 1] + plos[j + 1] + qlo[j + 1]
+                    nt.append(v)
+                nt[0] = nt[0] + c0
+                t = nt
+            out = []
+            c = zero
+            for j in range(L):
+                v = t[j] + c
+                out.append(v & MASK)
+                c = v >> W
+            return cond_sub(out, c)
+
+        def cond_sub(limbs, overflow):
+            d = []
+            bw = zero
+            for j in range(L):
+                v = limbs[j] - p_limbs[j] - bw
+                d.append(v & MASK)
+                bw = (v >> W) & 1
+            need = jnp.logical_or(overflow > 0, bw == 0)
+            return [jnp.where(need, a_, b_) for a_, b_ in zip(d, limbs)]
+
+        def fadd(a, b):
+            s = []
+            c = zero
+            for j in range(L):
+                v = a[j] + b[j] + c
+                s.append(v & MASK)
+                c = v >> W
+            return cond_sub(s, c)
+
+        def fsub(a, b):
+            d = []
+            bw = zero
+            for j in range(L):
+                v = a[j] - b[j] - bw
+                d.append(v & MASK)
+                bw = (v >> W) & 1
+            dp = []
+            c = zero
+            for j in range(L):
+                v = d[j] + p_limbs[j] + c
+                dp.append(v & MASK)
+                c = v >> W
+            neg = bw > 0
+            return [jnp.where(neg, a_, b_) for a_, b_ in zip(dp, d)]
+
+        for s in range(n_stages):
+            m = 1 << s
+            tw = [tw_ref[s, i : i + 1, :] for i in range(L)]
+            is_hi = hi_ref[s, 0:1, :] > 0
+            y = cios(x, tw)  # lo lanes multiplied by ONE pass through
+            p_lo = [pltpu.roll(v, chunk - m, 1) for v in y]  # lane i <- y[i+m]
+            p_hi = [pltpu.roll(v, m, 1) for v in y]  # lane i <- y[i-m]
+            part = [jnp.where(is_hi, a_, b_) for a_, b_ in zip(p_hi, p_lo)]
+            plus = fadd(y, part)  # lo: y_lo + w*hi
+            minus = fsub(part, y)  # hi: lo - w*hi
+            x = [jnp.where(is_hi, mn, pl) for mn, pl in zip(minus, plus)]
+
+        for i in range(L):
+            out_ref[i : i + 1, :] = x[i]
+
+    return kernel
+
+
+@functools.cache
+def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret: bool):
+    kernel = _mk_fused_pass_kernel(params, n_stages, FUSED_CHUNK)
+    grid = (n_cols // FUSED_CHUNK,)
+    x_spec = pl.BlockSpec((L, FUSED_CHUNK), lambda i: (0, i))
+    tw_spec = pl.BlockSpec((n_stages, L, FUSED_CHUNK), lambda i: (0, 0, 0))
+    hi_spec = pl.BlockSpec((n_stages, 1, FUSED_CHUNK), lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n_cols), jnp.uint32),
+        grid=grid,
+        in_specs=[x_spec, tw_spec, hi_spec],
+        out_specs=x_spec,
+        interpret=interpret,
+    )
+
+
+@functools.cache
+def fused_pass_tables(params: FieldParams, log_n: int, inverse: bool = False):
+    """Host-precomputed (S, L, C) twiddle vectors (Montgomery, ONE at lo
+    lanes) and (S, 1, C) hi-lane masks for the fused low-stage pass."""
+    import numpy as np
+
+    from .params import R, int_to_limbs
+
+    C = FUSED_CHUNK
+    S = min(FUSED_STAGES, log_n)
+    n = 1 << log_n
+    p = params.p
+    w = params.nth_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, p)
+    one_m = int_to_limbs(R % p)
+    tw = np.zeros((S, L, C), dtype=np.uint32)
+    hi = np.zeros((S, 1, C), dtype=np.uint32)
+    for s in range(S):
+        m = 1 << s
+        stride = n >> (s + 1)
+        for i in range(C):
+            if (i >> s) & 1:  # hi lane
+                j = i & (m - 1)
+                val = int_to_limbs(pow(w, j * stride, p) * R % p)
+                hi[s, 0, i] = 1
+            else:
+                val = one_m
+            tw[s, :, i] = val
+    return jnp.asarray(tw), jnp.asarray(hi)
+
+
+def fused_low_stages(params: FieldParams, at: jax.Array, log_n: int,
+                     inverse: bool = False) -> tuple[jax.Array, int]:
+    """Run stages 0..min(11, log_n)-1 on a limb-major bit-reversed array.
+
+    Returns (array, first_unprocessed_stage)."""
+    n = at.shape[1]
+    S = min(FUSED_STAGES, log_n)
+    if n < FUSED_CHUNK or n % FUSED_CHUNK:
+        return at, 0
+    tw, hi = fused_pass_tables(params, log_n, inverse)
+    interpret = jax.default_backend() != "tpu"
+    call = _fused_pass_call(params, S, n, interpret)
+    return call(at, tw, hi), S

@@ -72,8 +72,9 @@ def twiddle_table(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
     return _doubling_table(params, w, max(log_n - 1, 0))
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _ntt_impl(params: FieldParams, a: jax.Array, tw: jax.Array, log_n: int) -> jax.Array:
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _ntt_impl(params: FieldParams, a: jax.Array, tw: jax.Array, log_n: int,
+              inverse: bool = False) -> jax.Array:
     """Iterative radix-2 DIT with reshape/stack butterflies.
 
     One bit-reversal gather up front, then every stage is static-strided
@@ -89,8 +90,11 @@ def _ntt_impl(params: FieldParams, a: jax.Array, tw: jax.Array, log_n: int) -> j
     from ..fields.pallas_mont import BLOCK, butterfly
 
     if (n // 2) % BLOCK == 0 and jax.default_backend() == "tpu":
+        from ..fields.pallas_mont import fused_low_stages
+
         at = a.T  # (L, n) limb-major for the kernel
-        for s in range(log_n):
+        at, s_start = fused_low_stages(params, at, log_n, inverse)
+        for s in range(s_start, log_n):
             m = 1 << s
             stride = n >> (s + 1)
             w_stage = tw[::stride][:m]  # (m, L)
@@ -126,7 +130,7 @@ def ntt(params: FieldParams, a: jax.Array) -> jax.Array:
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return a
-    return _ntt_impl(params, a, twiddle_table(params, log_n, False), log_n)
+    return _ntt_impl(params, a, twiddle_table(params, log_n, False), log_n, False)
 
 
 @functools.cache
@@ -156,7 +160,7 @@ def ntt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
     padded = _pad_batch(arrays)
     batch = jnp.stack(padded)
     # lax.map (not vmap): the body may contain a pallas_call
-    out = jax.lax.map(lambda x: _ntt_impl(params, x, tw, log_n), batch)
+    out = jax.lax.map(lambda x: _ntt_impl(params, x, tw, log_n, False), batch)
     return [out[i] for i in range(len(arrays))]
 
 
@@ -172,7 +176,7 @@ def intt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
     batch = jnp.stack(padded)
 
     def one(x):
-        y = _ntt_impl(params, x, tw, log_n)
+        y = _ntt_impl(params, x, tw, log_n, True)
         return mont.mont_mul(params, y, jnp.broadcast_to(ninv, y.shape))
 
     out = jax.lax.map(one, batch)
@@ -186,7 +190,7 @@ def intt(params: FieldParams, a: jax.Array) -> jax.Array:
     assert 1 << log_n == n
     if n == 1:
         return a
-    out = _ntt_impl(params, a, twiddle_table(params, log_n, True), log_n)
+    out = _ntt_impl(params, a, twiddle_table(params, log_n, True), log_n, True)
     ninv = jnp.broadcast_to(_n_inv_mont(params, log_n), out.shape)
     return mont.mont_mul(params, out, ninv)
 
