@@ -97,6 +97,33 @@ def cmd_gen_solidity(args):
         print(src)
 
 
+def cmd_dcap_prove(args):
+    from .circuits.dcap import load_demo_input
+    from .runtime.dcap_prover import DcapProver
+
+    inp = load_demo_input()
+    assert inp.verify_native()
+    prover = DcapProver(params_dir=args.params_dir, k=args.k if args.k != 18 else 17)
+    proof = prover.create_proof(inp)
+    out = "0x" + proof.hex()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"DCAP proof written to {args.output} ({len(proof)} bytes)")
+    else:
+        print(out)
+
+
+def cmd_dcap_verify(args):
+    from .runtime.dcap_prover import DcapProver
+
+    proof = bytes.fromhex(_read_raw_or_file(args.proof))
+    prover = DcapProver(params_dir=args.params_dir, k=args.k if args.k != 18 else 17)
+    ok = prover.verify(proof)
+    print("valid" if ok else "INVALID")
+    sys.exit(0 if ok else 1)
+
+
 def cmd_dcap_mock(args):
     from .chips import CircuitBuilder
     from .circuits.dcap import build_dcap_trace, load_demo_input
@@ -135,6 +162,10 @@ def main(argv=None):
     p = sub.add_parser("gen-solidity")
     p.add_argument("--output")
     sub.add_parser("dcap-mock")
+    p = sub.add_parser("dcap-prove")
+    p.add_argument("--output")
+    p = sub.add_parser("dcap-verify")
+    p.add_argument("--proof", required=True)
 
     args = ap.parse_args(argv)
     # guard on missing params dir like the reference (main.rs:256-263)
@@ -151,6 +182,8 @@ def main(argv=None):
         "gen-calldata": cmd_gen_calldata,
         "gen-solidity": cmd_gen_solidity,
         "dcap-mock": cmd_dcap_mock,
+        "dcap-prove": cmd_dcap_prove,
+        "dcap-verify": cmd_dcap_verify,
     }[args.cmd](args)
 
 
