@@ -1,24 +1,69 @@
 #!/usr/bin/env python
-"""Benchmark entry point (driver contract: prints ONE JSON line).
+"""Benchmark entry point (driver contract: prints ONE JSON line to stdout).
 
 Headline metric: BN254 Pippenger MSM throughput at 2^20 points on one chip
-(BASELINE.md: "BN254 MSM points/sec/chip (2^20 points)"). The reference
-publishes no numbers (BASELINE.md), so vs_baseline is measured against the
-self-baseline recorded in BASELINE.json's north star; until a reference
-wall-clock exists we report vs_baseline=1.0 at the 1-chip measurement.
+(BASELINE.md: "BN254 MSM points/sec/chip (2^20 points)"). vs_baseline is
+measured against the round-1 self-baseline (363,959 points/s, BENCH.md).
 
-Extra phase timings (NTT 2^22, etc.) go to stderr so the stdout contract
-stays a single JSON line.
+Robustness contract (VERDICT.md round-1 item 1 — the driver's capture timed
+out at rc=124 because a scalar-encoding program compiled for ~6 minutes):
+  * scalars are generated HOST-side in standard form (numpy) — the only
+    device program in the critical path is the MSM kernel itself;
+  * the JSON line is printed and flushed IMMEDIATELY after the MSM
+    measurement; NTT extras follow on stderr only;
+  * a SIGALRM watchdog fires at --budget seconds (default 480) and prints
+    the best measurement so far (or a sentinel value) before exiting 0, so
+    an external `timeout` can never leave stdout empty.
 """
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
+
+_RESULT = {"value": None, "printed": False}
+_R1_BASELINE_PPS = 363_959.0  # round-1 measured points/s (BENCH.md)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(pps: float | None, note: str = ""):
+    """Print the single stdout JSON line (idempotent)."""
+    if _RESULT["printed"]:
+        return
+    _RESULT["printed"] = True
+    obj = {
+        "metric": "bn254_msm_2^20_points_per_sec_per_chip",
+        "value": round(pps) if pps else 0,
+        "unit": "points/s",
+        "vs_baseline": round(pps / _R1_BASELINE_PPS, 3) if pps else 0.0,
+    }
+    if note:
+        obj["note"] = note
+    print(json.dumps(obj), flush=True)
+
+
+def _watchdog():
+    # a THREAD, not SIGALRM: a signal handler cannot preempt a blocked
+    # foreign call (the axon remote-compile RPC), a timer thread can.
+    log("bench: watchdog fired — emitting partial result")
+    emit(_RESULT["value"], note="watchdog-partial")
+    os._exit(0)
+
+
+def _np_scalars(n: int, num_limbs: int):
+    """Standard-form uint32 16-bit-limb scalars < 2^240 < r, generated on
+    host (no device Montgomery-encode program needed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    s = rng.integers(0, 1 << 16, size=(n, num_limbs), dtype=np.uint32)
+    s[:, num_limbs - 1] = 0
+    return s
 
 
 def bench_msm(log_n: int, iters: int = 3) -> float:
@@ -26,36 +71,30 @@ def bench_msm(log_n: int, iters: int = 3) -> float:
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from zkdcap_tpu.curves.device_g1 import G1_SPEC
-    from zkdcap_tpu.fields import BN254_FR, mont
+    from zkdcap_tpu.curves import BN254_G1
+    from zkdcap_tpu.curves.device_g1 import G1_SPEC, encode_points
     from zkdcap_tpu.fields.params import NUM_LIMBS
-    from zkdcap_tpu.msm import msm
+    from zkdcap_tpu.msm.pippenger import msm_device
 
     n = 1 << log_n
     rng = random.Random(1)
-    key = jax.random.PRNGKey(0)
-    # random-looking (but valid) scalars: random 16-bit limbs, top limb clamped
-    scal = jax.random.randint(key, (n, NUM_LIMBS), 0, 1 << 16, dtype=jnp.int32).astype(jnp.uint32)
-    scal = scal.at[:, NUM_LIMBS - 1].set(0)  # < 2^240 < r: valid Fr
+    scal_std = jnp.asarray(_np_scalars(n, NUM_LIMBS))
     # points: repeat a small set of real G1 multiples (values don't affect speed)
-    from zkdcap_tpu.curves import BN254_G1
-    from zkdcap_tpu.curves.device_g1 import encode_points
-
     base_pts = [BN254_G1.mul(rng.randrange(1, 1 << 60), BN254_G1.g) for _ in range(64)]
-    base = encode_points(G1_SPEC, base_pts)
-    reps = n // base.shape[0]
-    pts = jnp.tile(base, (reps, 1, 1))
+    base = np.asarray(encode_points(G1_SPEC, base_pts))
+    pts = jnp.asarray(np.tile(base, (n // base.shape[0], 1, 1)))
 
-    scal_mont = mont.to_mont(BN254_FR, scal)
+    lanes = min(16384, n)
     t0 = time.time()
-    out = msm(pts, scal_mont)
+    out = msm_device(G1_SPEC, pts, scal_std, lanes)
     jax.block_until_ready(out)
     log(f"msm 2^{log_n}: compile+first run {time.time()-t0:.2f}s")
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = msm(pts, scal_mont)
+        out = msm_device(G1_SPEC, pts, scal_std, lanes)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
@@ -72,9 +111,7 @@ def bench_ntt(log_n: int, iters: int = 3) -> float:
     from zkdcap_tpu.ntt import ntt
 
     n = 1 << log_n
-    key = jax.random.PRNGKey(1)
-    a = jax.random.randint(key, (n, NUM_LIMBS), 0, 1 << 16, dtype=jnp.int32).astype(jnp.uint32)
-    a = a.at[:, NUM_LIMBS - 1].set(0)
+    a = jnp.asarray(_np_scalars(n, NUM_LIMBS))
     t0 = time.time()
     out = ntt(BN254_FR, a)
     jax.block_until_ready(out)
@@ -91,8 +128,6 @@ def bench_ntt(log_n: int, iters: int = 3) -> float:
 
 
 def _enable_compile_cache():
-    import os
-
     import jax
 
     jax.config.update(
@@ -109,24 +144,23 @@ def main():
     ap.add_argument("--msm-log-n", type=int, default=20)
     ap.add_argument("--ntt-log-n", type=int, default=22)
     ap.add_argument("--skip-ntt", action="store_true")
+    ap.add_argument("--budget", type=float, default=480.0,
+                    help="seconds before the watchdog emits a partial result")
     args = ap.parse_args()
+
+    timer = threading.Timer(args.budget, _watchdog)
+    timer.daemon = True
+    timer.start()
 
     import jax
 
     log(f"devices: {jax.devices()}")
     pps = bench_msm(args.msm_log_n)
+    _RESULT["value"] = pps
+    emit(pps)
+    timer.cancel()
     if not args.skip_ntt:
         bench_ntt(args.ntt_log_n)
-    print(
-        json.dumps(
-            {
-                "metric": f"bn254_msm_2^{args.msm_log_n}_points_per_sec_per_chip",
-                "value": round(pps),
-                "unit": "points/s",
-                "vs_baseline": 1.0,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -109,16 +109,23 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
     off = [0]  # proof byte offset tracker (python-side)
 
     def rd_scalar(name):
-        E(f"uint256 {name} = calldataloadp(PROOF + {off[0]}) % R;")
+        # canonicality: reject s >= r instead of reducing (matches the
+        # native TranscriptReader; ADVICE round-1 fix)
+        E(f"uint256 {name} = calldataloadp(PROOF + {off[0]});")
+        E(f'require({name} < R, "scalar");')
         off[0] += 32
 
     def rd_point(name):
         E(f"uint256 {name}x = calldataloadp(PROOF + {off[0]});")
         E(f"uint256 {name}y = calldataloadp(PROOF + {off[0] + 32});")
+        E(f'require({name}x < Q && {name}y < Q, "coord");')
         off[0] += 64
 
-    # transcript: buf entries between squeezes, then digest chaining
-    absorbed: list[str] = ["bytes32(0)"]
+    # transcript: the native prover's first absorbed element is the vk
+    # transcript repr (prover.py round 0), so the generated contract seeds
+    # its keccak buffer with the same constant (ADVICE round-1 high fix —
+    # a bytes32(0) seed made every challenge diverge)
+    absorbed: list[str] = [f"bytes32(uint256(0x{vk.transcript_repr():064x}))"]
 
     def absorb_point(namex, namey):
         absorbed.append(f"bytes32({namex})")
@@ -134,9 +141,10 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
         absorbed.clear()
         absorbed.append(f"st_{chal}")
 
-    # instances absorbed first (as scalars)
+    # instances absorbed first (as scalars; must be canonical field elements)
     for i in range(num_instances):
-        E(f"uint256 inst{i} = calldataloadp({32 * i}) % R;")
+        E(f"uint256 inst{i} = calldataloadp({32 * i});")
+        E(f'require(inst{i} < R, "instance");')
         absorb_scalar(f"inst{i}")
 
     # round 1: advice commitments
@@ -220,7 +228,7 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
         E(f"    uint256 wj = expmod(OMEGA, j, R);")
         E(f"    uint256 den = addmod({pt}, R - wj, R);")
         E(f"    uint256 lj = mulmod(mulmod(wj, NINV, R), mulmod({pt}n, invmod(den), R), R);")
-        E(f"    {acc} = addmod({acc}, mulmod(calldataloadp(32 * j) % R, lj, R));")
+        E(f"    {acc} = addmod({acc}, mulmod(calldataloadp(32 * j) % R, lj, R), R);")
         E("}")
         ins_evals[(ci, rot)] = acc
 
@@ -274,6 +282,8 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
         acc_a = em.fresh("la")
         acc_s = em.fresh("ls")
         E(f"uint256 {acc_a} = 0; uint256 {acc_s} = 0; ")
+        # block-scope tpow: it is re-declared per lookup argument
+        E("{")
         E("uint256 tpow = 1;")
         for e_in, e_tb in zip(lk.inputs, lk.tables):
             ca = _expr_code(e_in, em, adv_evals, fix_evals, ins_evals, challenges)
@@ -281,6 +291,7 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
             E(f"{acc_a} = addmod({acc_a}, mulmod(tpow, {ca}, R), R);")
             E(f"{acc_s} = addmod({acc_s}, mulmod(tpow, {ct}, R), R);")
             E("tpow = mulmod(tpow, theta, R);")
+        E("}")
         for code in (
             f"mulmod(l0, addmod(1, R - {zx}, R), R)",
             f"mulmod(llast, addmod(mulmod({zx}, {zx}, R), R - {zx}, R), R)",

@@ -91,6 +91,38 @@ class ConstraintSystem:
         self.enable_equality(b[0])
         self.copies.append((a, b))
 
+    def canonical_bytes(self) -> bytes:
+        """Canonical serialization of the full constraint system — hashed
+        into the vk transcript repr so two circuits differing in any gate
+        polynomial, lookup, query rotation, permutation column or column
+        count get distinct reprs (halo2 pinned-vk analog; ADVICE round-1)."""
+        from .expression import expr_bytes
+
+        out = bytearray()
+        for v in (self.num_fixed, self.num_advice, self.num_instance,
+                  self.blinding_factors):
+            out += v.to_bytes(4, "little")
+        out += len(self.gates).to_bytes(4, "little")
+        for g in self.gates:
+            nm = g.name.encode()
+            out += len(nm).to_bytes(2, "little") + nm
+            out += len(g.polys).to_bytes(4, "little")
+            for p in g.polys:
+                b = expr_bytes(p)
+                out += len(b).to_bytes(4, "little") + b
+        out += len(self.lookups).to_bytes(4, "little")
+        for lk in self.lookups:
+            nm = lk.name.encode()
+            out += len(nm).to_bytes(2, "little") + nm
+            out += len(lk.inputs).to_bytes(4, "little")
+            for e in lk.inputs + lk.tables:
+                b = expr_bytes(e)
+                out += len(b).to_bytes(4, "little") + b
+        out += len(self.permutation_columns).to_bytes(4, "little")
+        for col in self.permutation_columns:
+            out += col.kind.encode()[:1] + col.index.to_bytes(4, "little")
+        return bytes(out)
+
     # --- degrees / domain sizing -------------------------------------------
 
     @property

@@ -136,6 +136,32 @@ class Scaled(Expression):
         return self.inner.degree()
 
 
+def expr_bytes(e: Expression) -> bytes:
+    """Canonical byte serialization of an expression AST (for vk binding —
+    ADVICE round-1: transcript_repr must hash gate/lookup expressions, not
+    just their counts)."""
+    if isinstance(e, Constant):
+        return b"C" + (e.value % R).to_bytes(32, "little")
+    if isinstance(e, Challenge):
+        name = e.name.encode()
+        return b"H" + len(name).to_bytes(2, "little") + name
+    if isinstance(e, Fixed):
+        return b"F" + e.index.to_bytes(4, "little") + (e.rotation & 0xFFFFFFFF).to_bytes(4, "little")
+    if isinstance(e, Advice):
+        return b"A" + e.index.to_bytes(4, "little") + (e.rotation & 0xFFFFFFFF).to_bytes(4, "little")
+    if isinstance(e, Instance):
+        return b"I" + e.index.to_bytes(4, "little") + (e.rotation & 0xFFFFFFFF).to_bytes(4, "little")
+    if isinstance(e, Negated):
+        return b"N" + expr_bytes(e.inner)
+    if isinstance(e, Sum):
+        return b"S" + expr_bytes(e.a) + expr_bytes(e.b)
+    if isinstance(e, Product):
+        return b"P" + expr_bytes(e.a) + expr_bytes(e.b)
+    if isinstance(e, Scaled):
+        return b"L" + (e.scalar % R).to_bytes(32, "little") + expr_bytes(e.inner)
+    raise TypeError(f"unknown expression {e!r}")
+
+
 class Evaluator:
     """Evaluates expressions over device column arrays.
 

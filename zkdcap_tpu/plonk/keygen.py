@@ -104,14 +104,17 @@ class VerifyingKey:
     transcript_kind: str = "blake2b"
 
     def transcript_repr(self) -> int:
-        h = hashlib.blake2b(b"zkdcap-tpu-vk-v1")
+        """Binds k, every commitment, AND the full constraint system
+        (gate/lookup expression ASTs, permutation columns, column counts) —
+        halo2's pinned-vk hash analog (ADVICE round-1 fix: counts alone are
+        not binding)."""
+        h = hashlib.blake2b(b"zkdcap-tpu-vk-v2")
         h.update(self.k.to_bytes(4, "little"))
         from ..transcript import serialize_point
 
         for c in self.fixed_commitments + self.permutation_commitments:
             h.update(serialize_point(c))
-        h.update(len(self.cs.gates).to_bytes(4, "little"))
-        h.update(len(self.cs.lookups).to_bytes(4, "little"))
+        h.update(self.cs.canonical_bytes())
         return int.from_bytes(h.digest(), "little") % R
 
 

@@ -107,13 +107,22 @@ def create_proof(
     advice_values: list[jax.Array],
     instances: list[list[int]],
     transcript: TranscriptWriter,
-    blinding_seed: bytes = b"zkdcap-blind-v1",
+    blinding_seed: bytes | None = None,
     timing: bool = False,
 ) -> bytes:
     """The 9-round pipeline. `timing=True` prints per-phase wall-clock to
-    stderr (ark-std start_timer!/end_timer! analog, SURVEY.md §5.1)."""
+    stderr (ark-std start_timer!/end_timer! analog, SURVEY.md §5.1).
+
+    blinding_seed=None (the default) draws fresh entropy per proof, matching
+    the reference's OsRng (`sgx_dcap_verifier.rs:811`) — advice commitments
+    are hiding. Pass an explicit seed ONLY in golden/reproducibility tests
+    (SURVEY.md §7.4-5 "pinned-RNG parity mode"; ADVICE round-1 fix)."""
+    import os as _os
     import sys
     import time as _time
+
+    if blinding_seed is None:
+        blinding_seed = _os.urandom(32)
 
     _t = [_time.time()]
 

@@ -77,7 +77,11 @@ def verify_proof(
     vk: VerifyingKey,
     instances: list[list[int]],
     proof: bytes,
+    transcript_kind: str | None = None,
 ) -> bool:
+    """transcript_kind overrides vk.transcript_kind for this call (EVM keccak
+    vs native path) without mutating the shared vk object (VERDICT round-1
+    weak #8)."""
     cs = vk.cs
     k = vk.k
     n = 1 << k
@@ -87,7 +91,7 @@ def verify_proof(
     curve = BN254_G1
 
     adv_q, fix_q, ins_q = collect_queries(cs)
-    tr = TranscriptReader(proof, vk.transcript_kind)
+    tr = TranscriptReader(proof, transcript_kind or vk.transcript_kind)
     tr.common_scalar(vk.transcript_repr())
     assert len(instances) == cs.num_instance
     for col in instances:

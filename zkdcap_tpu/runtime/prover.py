@@ -62,6 +62,7 @@ class ECDSAProver:
         # lookup table must fit the domain: 2^17 table needs k >= 18
         self.lookup_bits = lookup_bits if lookup_bits is not None else min(17, k - 1)
         self._pk: ProvingKey | None = None
+        self._vk: VerifyingKey | None = None
         self._params: ParamsKZG | None = None
         self._compiled = None
         self._builder = None
@@ -164,6 +165,35 @@ class ECDSAProver:
         self._pk, self._builder, self._compiled = pk, builder, compiled
         return pk
 
+    def load_vk(self) -> VerifyingKey:
+        """Light verifier path (VERDICT round-1 weak #6): builds the vk from
+        vk.json + pinning.json WITHOUT loading the multi-GB pk arrays.
+        Verification only needs commitments + the circuit structure + the
+        host G2 points."""
+        if self._pk is not None:
+            return self._pk.vk
+        if self._vk is not None:
+            return self._vk
+        if not (os.path.exists(self.vk_path) and os.path.exists(self.pinning_path)):
+            return self.keygen().vk
+        with open(self.pinning_path) as f:
+            pinning = Pinning.from_json(f.read())
+        builder, compiled, _ = self._compile(pinning)
+        with open(self.vk_path) as f:
+            vk_data = json.load(f)
+        assert vk_data["k"] == self.k
+        self._vk = VerifyingKey(
+            k=self.k,
+            cs=compiled.cs,
+            fixed_commitments=[tuple(c) if c else None for c in vk_data["fixed_commitments"]],
+            permutation_commitments=[
+                tuple(c) if c else None for c in vk_data["permutation_commitments"]
+            ],
+            transcript_kind=vk_data["transcript"],
+        )
+        self._builder, self._compiled = builder, compiled
+        return self._vk
+
     # --- proving ----------------------------------------------------------
 
     def create_proof(self, inp: ECDSAInput, evm: bool = False, timing: bool = True) -> bytes:
@@ -189,20 +219,23 @@ class ECDSAProver:
         t = _p("device encode", t)
         kind = "keccak" if evm else self.transcript_kind
         tw = TranscriptWriter(kind)
-        vk_kind = pk.vk.transcript_kind
-        pk.vk.transcript_kind = kind
-        try:
-            proof = create_proof(self.params(), pk, advice_dev, instances, tw, timing=timing)
-        finally:
-            pk.vk.transcript_kind = vk_kind
-        return proof
+        return create_proof(self.params(), pk, advice_dev, instances, tw, timing=timing)
+
+    def verifier_params(self) -> ParamsKZG:
+        """Verification needs only the host G2 points (derived from the
+        deterministic dev tau) — not the 2^k G1 powers."""
+        if self._params is not None:
+            return self._params
+        from ..commit.srs import SRS, _dev_tau
+        from ..curves.pairing import G2_GEN, g2_mul
+
+        tau = _dev_tau()
+        srs = SRS(k=self.k, g1_powers=None, g2=G2_GEN, s_g2=g2_mul(tau, G2_GEN),
+                  g1=(1, 2))
+        return ParamsKZG(srs=srs)
 
     def verify(self, inp_instances: list[int], proof: bytes, evm: bool = False) -> bool:
-        pk = self.keygen()
+        vk = self.load_vk()
         kind = "keccak" if evm else self.transcript_kind
-        vk_kind = pk.vk.transcript_kind
-        pk.vk.transcript_kind = kind
-        try:
-            return verify_proof(self.params(), pk.vk, [inp_instances], proof)
-        finally:
-            pk.vk.transcript_kind = vk_kind
+        return verify_proof(self.verifier_params(), vk, [inp_instances], proof,
+                            transcript_kind=kind)

@@ -47,6 +47,10 @@ def deserialize_point(b: bytes):
     if flags & 0x40:
         return None
     x = int.from_bytes(bytes(b[:31]) + bytes([flags & 0x3F]), "little")
+    if x >= Q:
+        # canonicality: reject x >= q (proof-encoding malleability otherwise;
+        # mirrors read_scalar's check — ADVICE round-1 fix)
+        raise ValueError("non-canonical point coordinate")
     y2 = (x * x * x + 3) % Q
     y = pow(y2, (Q + 1) // 4, Q)
     if y * y % Q != y2:
@@ -152,7 +156,11 @@ class TranscriptWriter:
 
     def write_scalar(self, s: int):
         self.core.absorb_scalar(s)
-        self.proof += (s % R).to_bytes(32, "little")
+        # EVM (keccak) proofs use big-endian words — the layout the
+        # generated Solidity verifier's calldataload reads directly
+        # (snark-verifier convention); native proofs use LE.
+        endian = "big" if self.kind == "keccak" else "little"
+        self.proof += (s % R).to_bytes(32, endian)
 
     def squeeze_challenge(self) -> int:
         return self.core.squeeze()
@@ -185,6 +193,8 @@ class TranscriptReader:
             else:
                 x = int.from_bytes(b[:32], "big")
                 y = int.from_bytes(b[32:], "big")
+                if x >= Q or y >= Q:
+                    raise ValueError("non-canonical point coordinate")
                 if (y * y - (x * x * x + 3)) % Q != 0:
                     raise ValueError("point not on curve")
                 pt = (x, y)
@@ -203,7 +213,7 @@ class TranscriptReader:
         if len(b) < 32:
             raise ValueError("transcript exhausted")
         self.off += 32
-        s = int.from_bytes(b, "little")
+        s = int.from_bytes(b, "big" if self.kind == "keccak" else "little")
         if s >= R:
             raise ValueError("non-canonical scalar")
         self.core.absorb_scalar(s)
