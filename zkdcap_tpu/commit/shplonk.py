@@ -96,7 +96,8 @@ def _group_rotation_sets(queries):
     return list(sets.items())
 
 
-def shplonk_open(params: ParamsKZG, transcript: TranscriptWriter, queries: list[ProverQuery]):
+def shplonk_open(params: ParamsKZG, transcript: TranscriptWriter, queries: list[ProverQuery],
+                 mesh=None):
     polys = {}
     evals: dict[tuple[str, int], int] = {}
     for q in queries:
@@ -136,7 +137,7 @@ def shplonk_open(params: ParamsKZG, transcript: TranscriptWriter, queries: list[
         h_total = term if h_total is None else poly_add(BN254_FR, h_total, term)
         vk_pow = vk_pow * v % R
 
-    h_commit = params.commit(h_total)
+    h_commit = params.commit(h_total, mesh=mesh)
     transcript.write_point(h_commit)
     u = transcript.squeeze_challenge()
 
@@ -170,7 +171,7 @@ def shplonk_open(params: ParamsKZG, transcript: TranscriptWriter, queries: list[
     L = poly_sub(BN254_FR, L, poly_scale(BN254_FR, h_total, z_t_u))
 
     W = divide_by_linear(BN254_FR, L, u)
-    w_commit = params.commit(W)
+    w_commit = params.commit(W, mesh=mesh)
     transcript.write_point(w_commit)
 
 

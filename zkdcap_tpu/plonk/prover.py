@@ -109,6 +109,7 @@ def create_proof(
     transcript: TranscriptWriter,
     blinding_seed: bytes | None = None,
     timing: bool = False,
+    mesh=None,
 ) -> bytes:
     """The 9-round pipeline. `timing=True` prints per-phase wall-clock to
     stderr (ark-std start_timer!/end_timer! analog, SURVEY.md §5.1).
@@ -116,7 +117,15 @@ def create_proof(
     blinding_seed=None (the default) draws fresh entropy per proof, matching
     the reference's OsRng (`sgx_dcap_verifier.rs:811`) — advice commitments
     are hiding. Pass an explicit seed ONLY in golden/reproducibility tests
-    (SURVEY.md §7.4-5 "pinned-RNG parity mode"; ADVICE round-1 fix)."""
+    (SURVEY.md §7.4-5 "pinned-RNG parity mode"; ADVICE round-1 fix).
+
+    mesh: a jax.sharding.Mesh with axis "shard" — the multi-chip prover
+    path (TPU replacement for rayon inside halo2's create_proof,
+    `sgx_dcap_verifier.rs:813-822`, SURVEY.md §2.3): row-shards the
+    Lagrange/extended column arrays over the mesh (elementwise gate/
+    permutation/lookup work becomes embarrassingly row-parallel; XLA
+    inserts the roll/scan collectives) and shards every commitment MSM's
+    points across chips. Proof bytes are identical to single-chip."""
     import os as _os
     import sys
     import time as _time
@@ -131,6 +140,14 @@ def create_proof(
             now = _time.time()
             print(f"[prover] {name}: {now - _t[0]:.2f}s", file=sys.stderr, flush=True)
             _t[0] = now
+
+    def _shard(arr):
+        """Row-shard a (rows, L) array over the mesh (no-op single-chip)."""
+        if mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(mesh, P("shard", None)))
 
     cs = pk.cs
     n = 1 << pk.k
@@ -148,16 +165,18 @@ def create_proof(
         for v in col:
             transcript.common_scalar(v)
     instance_lagrange = [
-        mont.encode_ints(BN254_FR, list(col) + [0] * (n - len(col))) for col in instances
+        _shard(mont.encode_ints(BN254_FR, list(col) + [0] * (n - len(col))))
+        for col in instances
     ]
 
     # --- round 1: advice commitments -------------------------------------
     assert len(advice_values) == cs.num_advice
     advice_lagrange = [
-        _blind(a, n, u, blinding_seed, b"adv%d" % i) for i, a in enumerate(advice_values)
+        _shard(_blind(a, n, u, blinding_seed, b"adv%d" % i))
+        for i, a in enumerate(advice_values)
     ]
     advice_coeff = intt_many(BN254_FR, advice_lagrange)
-    for pt in params.commit_many(advice_coeff):
+    for pt in params.commit_many(advice_coeff, mesh=mesh):
         transcript.write_point(pt)
 
     _phase("advice commit")
@@ -200,7 +219,7 @@ def create_proof(
         for li, ld in enumerate(lookup_data):
             ld["a_perm_coeff"] = perm_coeffs[2 * li]
             ld["s_perm_coeff"] = perm_coeffs[2 * li + 1]
-        for pt in params.commit_many(perm_coeffs):
+        for pt in params.commit_many(perm_coeffs, mesh=mesh):
             transcript.write_point(pt)
 
     _phase("lookup permute+commit")
@@ -249,7 +268,7 @@ def create_proof(
         z = _blind(z, n, u, blinding_seed, b"permz%d" % (c0 // chunk))
         perm_zs.append(z)
     perm_z_coeff = intt_many(BN254_FR, perm_zs)
-    for pt in params.commit_many(perm_z_coeff):
+    for pt in params.commit_many(perm_z_coeff, mesh=mesh):
         transcript.write_point(pt)
 
     _phase("permutation z")
@@ -279,7 +298,7 @@ def create_proof(
             ld["z_coeff"] = zc
             # lagrange forms are no longer needed; free HBM before quotient
             del ld["a"], ld["s"], ld["a_perm"], ld["s_perm"], ld["z"]
-        for pt in params.commit_many(z_coeffs):
+        for pt in params.commit_many(z_coeffs, mesh=mesh):
             transcript.write_point(pt)
 
     _phase("lookup z")
@@ -287,15 +306,16 @@ def create_proof(
     random_poly = mont.encode_ints(
         BN254_FR, _seeded_rand_ints(blinding_seed + b"rand", n)
     )
-    transcript.write_point(params.commit(random_poly))
+    transcript.write_point(params.commit(random_poly, mesh=mesh))
 
     y = transcript.squeeze_challenge()
 
     # --- round 6: quotient ------------------------------------------------
     h_pieces, all_constraints_ext = _compute_quotient(
-        pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y
+        pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y,
+        shard=_shard,
     )
-    for pt in params.commit_many(h_pieces):
+    for pt in params.commit_many(h_pieces, mesh=mesh):
         transcript.write_point(pt)
 
     _phase("quotient")
@@ -386,7 +406,7 @@ def create_proof(
 
     _phase("evals")
     # --- round 8: multiopen ----------------------------------------------
-    shplonk_open(params, transcript, queries)
+    shplonk_open(params, transcript, queries, mesh=mesh)
     _phase("multiopen")
     return transcript.finalize()
 
@@ -401,9 +421,12 @@ def _compute_quotient(
     beta: int,
     gamma: int,
     y: int,
+    shard=lambda x: x,
 ):
     """Evaluate sum_i y^i * constraint_i on the extended coset, divide by Z_H,
-    return quotient pieces (coefficient form, n each)."""
+    return quotient pieces (coefficient form, n each). `shard` row-shards
+    the extended arrays over a mesh (identity single-chip) — the quotient
+    round is the row-parallel SP analog of SURVEY.md §5.7."""
     cs = pk.cs
     domain = pk.domain
     n = domain.n
@@ -411,9 +434,9 @@ def _compute_quotient(
     ratio = ext_n // n
     u = cs.usable_rows(n)
 
-    advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
+    advice_ext = [shard(domain.coeff_to_extended(a)) for a in advice_coeff]
     instance_ext = [
-        domain.coeff_to_extended(intt(BN254_FR, i)) for i in instance_lagrange
+        shard(domain.coeff_to_extended(intt(BN254_FR, i))) for i in instance_lagrange
     ]
     ev = Evaluator(
         pk.fixed_extended,
