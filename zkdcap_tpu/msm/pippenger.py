@@ -131,44 +131,47 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         # merged (WP*G) lanes through the fused pallas add kernel.
         Xp, Yp, Zp, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x3, (WP, N)
 
-        Xl = Xp.reshape(WP, G, M, L)
-        Yl = Yp.reshape(WP, G, M, L)
-        Zl = Zp.reshape(WP, G, M, L)
-        dl = d.reshape(WP, G, M)
-
         # -- stage 2: per-lane segmented scan (kernelized EC adds) ---------
-        out0 = jnp.zeros((WP, G, M, L), jnp.uint32)
+        # M-major layout: step j slices are CONTIGUOUS (WP*G, L) blocks.
+        # (The round-1 layout sliced axis 2 of (WP, G, M, L) — 16-element
+        # runs with M*L-strided gaps — and those strided reads/writes, not
+        # the sorts, dominated the 2.87 s runtime.)
+        def to_mjr(A):
+            return jnp.moveaxis(A.reshape(WP, G, M, L), 2, 0).reshape(M, WP * G, L)
+
+        Xm, Ym, Zm = to_mjr(Xp), to_mjr(Yp), to_mjr(Zp)
+        dm = jnp.moveaxis(d.reshape(WP, G, M), 2, 0).reshape(M, WP * G)
+        # same-digit-as-previous-in-lane mask, precomputed (row 0 = False)
+        sames = jnp.concatenate(
+            [jnp.zeros((1, WP * G), bool), dm[1:] == dm[:-1]], axis=0
+        )
+
+        out0 = jnp.zeros((M, WP * G, L), jnp.uint32)
         iX, iY, iZ = ec_inf(spec, (WP * G,))
 
         def step(j, carry):
             (aX, aY, aZ), (oX, oY, oZ) = carry
             Pj = tuple(
-                jax.lax.dynamic_index_in_dim(arr, j, 2, keepdims=False).reshape(WP * G, L)
-                for arr in (Xl, Yl, Zl)
+                jax.lax.dynamic_index_in_dim(arr, j, 0, keepdims=False)
+                for arr in (Xm, Ym, Zm)
             )
-            dj = jax.lax.dynamic_index_in_dim(dl, j, 2, keepdims=False).reshape(WP * G)
-            dp = jax.lax.dynamic_index_in_dim(
-                dl, jnp.maximum(j - 1, 0), 2, keepdims=False
-            ).reshape(WP * G)
-            same = jnp.logical_and(j > 0, dj == dp)
+            same = jax.lax.dynamic_index_in_dim(sames, j, 0, keepdims=False)
             new = ec_add_select(spec, (aX, aY, aZ), Pj, same, fallback="q")
-            oX = jax.lax.dynamic_update_index_in_dim(
-                oX, new[0].reshape(WP, G, L), j, 2
-            )
-            oY = jax.lax.dynamic_update_index_in_dim(
-                oY, new[1].reshape(WP, G, L), j, 2
-            )
-            oZ = jax.lax.dynamic_update_index_in_dim(
-                oZ, new[2].reshape(WP, G, L), j, 2
-            )
+            oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 0)
+            oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 0)
+            oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 0)
             return (new, (oX, oY, oZ))
 
         _, (oX, oY, oZ) = jax.lax.fori_loop(
             0, M, step, ((iX, iY, iZ), (out0, out0, out0))
         )
-        sX = oX.reshape(WP, N, L)
-        sY = oY.reshape(WP, N, L)
-        sZ = oZ.reshape(WP, N, L)
+
+        def from_mjr(A):
+            return jnp.moveaxis(A.reshape(M, WP, G, L), 0, 2).reshape(WP, N, L)
+
+        sX = from_mjr(oX)
+        sY = from_mjr(oY)
+        sZ = from_mjr(oZ)
 
         vX, vY, vZ, vd = jax.vmap(compact_part)(sX, sY, sZ, d)  # (WP, K, ...)
 
