@@ -27,10 +27,22 @@ def _read_raw_or_file(v: str) -> str:
     return v
 
 
+def _config(args):
+    from .config import CircuitConfig, load_config
+
+    if getattr(args, "config", None) or os.environ.get("ZKDCAP_CONFIG"):
+        return load_config(getattr(args, "config", None))
+    return CircuitConfig(degree=18, lookup_bits=17)
+
+
 def _get_prover(args):
     from .runtime.prover import ECDSAProver
 
-    return ECDSAProver(params_dir=args.params_dir, k=args.k)
+    cfg = _config(args)
+    k = args.k if args.k is not None else cfg.degree
+    lookup = cfg.lookup_bits if args.k is None else None
+    return ECDSAProver(params_dir=args.params_dir, k=k, lookup_bits=lookup,
+                       transcript=cfg.transcript)
 
 
 def cmd_setup(args):
@@ -103,7 +115,8 @@ def cmd_dcap_prove(args):
 
     inp = load_demo_input()
     assert inp.verify_native()
-    prover = DcapProver(params_dir=args.params_dir, k=args.k if args.k != 18 else 17)
+    prover = DcapProver(params_dir=args.params_dir,
+                        k=args.k if args.k is not None else 17)
     proof = prover.create_proof(inp)
     out = "0x" + proof.hex()
     if args.output:
@@ -118,7 +131,8 @@ def cmd_dcap_verify(args):
     from .runtime.dcap_prover import DcapProver
 
     proof = bytes.fromhex(_read_raw_or_file(args.proof))
-    prover = DcapProver(params_dir=args.params_dir, k=args.k if args.k != 18 else 17)
+    prover = DcapProver(params_dir=args.params_dir,
+                        k=args.k if args.k is not None else 17)
     ok = prover.verify(proof)
     print("valid" if ok else "INVALID")
     sys.exit(0 if ok else 1)
@@ -131,19 +145,24 @@ def cmd_dcap_mock(args):
 
     inp = load_demo_input()
     assert inp.verify_native()
+    k = args.k if args.k is not None else 17
     trace = build_dcap_trace(inp)
-    builder = CircuitBuilder(args.k, lookup_bits=16)
+    builder = CircuitBuilder(k, lookup_bits=16)
     compiled = builder.compile(trace)
     advice = builder.witness_columns(compiled, trace)
-    MockProver(args.k, compiled.cs, compiled.fixed_values, advice, []).assert_satisfied()
-    print(f"DCAP demo circuit satisfied at k={args.k} "
+    MockProver(k, compiled.cs, compiled.fixed_values, advice, []).assert_satisfied()
+    print(f"DCAP demo circuit satisfied at k={k} "
           f"({len(trace.cells)} cells, {compiled.pinning.num_advice} advice columns)")
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="zk-clique", description=__doc__)
     ap.add_argument("--params-dir", default="params")
-    ap.add_argument("--k", type=int, default=18)
+    ap.add_argument("--k", type=int, default=None,
+                    help="circuit degree (overrides --config)")
+    ap.add_argument("--config", default=None,
+                    help="JSON circuit config (default: $ZKDCAP_CONFIG, "
+                         "reference ECDSA_CONFIG analog)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("setup").add_argument("--force", action="store_true")

@@ -147,6 +147,79 @@ def ntt_stage_supported(n_half: int) -> bool:
     return n_half % BLOCK == 0
 
 
+# --- elementwise Montgomery multiply (limb-major) ---------------------------
+
+
+def _mk_mul_kernel(params: FieldParams):
+    p_limbs = [int(v) for v in params.p_limbs]
+    n0inv = params.n0inv
+
+    def kernel(a_ref, b_ref, out_ref):
+        a = [a_ref[i, :] for i in range(L)]
+        b = [b_ref[i, :] for i in range(L)]
+        zero = jnp.zeros_like(a[0])
+        t = [zero] * L
+        for i in range(L):
+            ai = a[i]
+            prod = [ai * b[j] for j in range(L)]
+            plos = [pr & MASK for pr in prod]
+            phis = [pr >> W for pr in prod]
+            u0 = t[0] + plos[0]
+            m = (u0 * n0inv) & MASK
+            q = [m * pj for pj in p_limbs]
+            qlo = [qq & MASK for qq in q]
+            qhi = [qq >> W for qq in q]
+            c0 = (u0 + qlo[0]) >> W
+            nt = []
+            for j in range(L):
+                v = phis[j] + qhi[j]
+                if j + 1 < L:
+                    v = v + t[j + 1] + plos[j + 1] + qlo[j + 1]
+                nt.append(v)
+            nt[0] = nt[0] + c0
+            t = nt
+        out = []
+        c = zero
+        for j in range(L):
+            v = t[j] + c
+            out.append(v & MASK)
+            c = v >> W
+        # conditional subtract
+        d = []
+        bw = zero
+        for j in range(L):
+            v = out[j] - p_limbs[j] - bw
+            d.append(v & MASK)
+            bw = (v >> W) & 1
+        need = jnp.logical_or(c > 0, bw == 0)
+        for j in range(L):
+            out_ref[j, :] = jnp.where(need, d[j], out[j])
+
+    return kernel
+
+
+@functools.cache
+def _mul_call(params: FieldParams, m_cols: int, interpret: bool):
+    kernel = _mk_mul_kernel(params)
+    grid = (m_cols // BLOCK,)
+    spec = pl.BlockSpec((L, BLOCK), lambda i: (0, i))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, m_cols), jnp.uint32),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )
+
+
+def mont_mul_lm(params: FieldParams, a_t: jax.Array, b_t: jax.Array) -> jax.Array:
+    """Elementwise Montgomery multiply in limb-major (L, M) layout — ONE
+    VMEM pass (the jnp mont_mul scan materialises all 16 CIOS rounds)."""
+    interpret = jax.default_backend() != "tpu"
+    return _mul_call(params, a_t.shape[1], interpret)(a_t, b_t)
+
+
 # --- fused low-stage NTT pass ----------------------------------------------
 #
 # After the global bit-reversal, DIT stages s with span 2^(s+1) <= C are

@@ -132,22 +132,32 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         Xp, Yp, Zp, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x3, (WP, N)
 
         # -- stage 2: per-lane segmented scan (kernelized EC adds) ---------
-        # M-major layout: step j slices are CONTIGUOUS (WP*G, L) blocks.
-        # (The round-1 layout sliced axis 2 of (WP, G, M, L) — 16-element
-        # runs with M*L-strided gaps — and those strided reads/writes, not
-        # the sorts, dominated the 2.87 s runtime.)
-        def to_mjr(A):
-            return jnp.moveaxis(A.reshape(WP, G, M, L), 2, 0).reshape(M, WP * G, L)
+        # (M, L, B) layout, B = WP*G merged lanes: each step j reads a
+        # CONTIGUOUS (L, B) limb-major block and feeds the fused pallas add
+        # kernel directly — the row-major wrapper's 9 per-iteration 8 MB
+        # transposes (measured: they, not the sorts, dominated the round-1
+        # 2.87 s) are hoisted into ONE layout transpose per group.
+        B = WP * G
+        from ..curves.ec_kernels import BLOCK as EC_BLOCK, ec_add_select_lm
 
-        Xm, Ym, Zm = to_mjr(Xp), to_mjr(Yp), to_mjr(Zp)
-        dm = jnp.moveaxis(d.reshape(WP, G, M), 2, 0).reshape(M, WP * G)
+        use_lm = B % EC_BLOCK == 0 and jax.default_backend() == "tpu"
+
+        def to_mlb(A):  # (WP, N, L) -> (M, L, B)
+            return A.reshape(WP, G, M, L).transpose(2, 3, 0, 1).reshape(M, L, B)
+
+        Xm, Ym, Zm = to_mlb(Xp), to_mlb(Yp), to_mlb(Zp)
+        dm = d.reshape(WP, G, M).transpose(2, 0, 1).reshape(M, B)
         # same-digit-as-previous-in-lane mask, precomputed (row 0 = False)
         sames = jnp.concatenate(
-            [jnp.zeros((1, WP * G), bool), dm[1:] == dm[:-1]], axis=0
+            [jnp.zeros((1, B), jnp.uint32),
+             (dm[1:] == dm[:-1]).astype(jnp.uint32)], axis=0
         )
 
-        out0 = jnp.zeros((M, WP * G, L), jnp.uint32)
-        iX, iY, iZ = ec_inf(spec, (WP * G,))
+        out0 = jnp.zeros((M, L, B), jnp.uint32)
+        one_b = mont.one_mont(f, (1,))[0]
+        iX = jnp.zeros((L, B), jnp.uint32)
+        iY = jnp.broadcast_to(one_b[:, None], (L, B))
+        iZ = jnp.zeros((L, B), jnp.uint32)
 
         def step(j, carry):
             (aX, aY, aZ), (oX, oY, oZ) = carry
@@ -155,8 +165,18 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
                 jax.lax.dynamic_index_in_dim(arr, j, 0, keepdims=False)
                 for arr in (Xm, Ym, Zm)
             )
-            same = jax.lax.dynamic_index_in_dim(sames, j, 0, keepdims=False)
-            new = ec_add_select(spec, (aX, aY, aZ), Pj, same, fallback="q")
+            same = jax.lax.dynamic_index_in_dim(sames, j, 0, keepdims=False)[None, :]
+            if use_lm:
+                new = ec_add_select_lm(spec, (aX, aY, aZ), Pj, same, fallback="q")
+            else:
+                rm = ec_add_select(
+                    spec,
+                    tuple(c.T for c in (aX, aY, aZ)),
+                    tuple(c.T for c in Pj),
+                    same[0],
+                    fallback="q",
+                )
+                new = tuple(c.T for c in rm)
             oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 0)
             oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 0)
             oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 0)
@@ -166,12 +186,12 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
             0, M, step, ((iX, iY, iZ), (out0, out0, out0))
         )
 
-        def from_mjr(A):
-            return jnp.moveaxis(A.reshape(M, WP, G, L), 0, 2).reshape(WP, N, L)
+        def from_mlb(A):  # (M, L, B) -> (WP, N, L)
+            return A.reshape(M, L, WP, G).transpose(2, 3, 0, 1).reshape(WP, N, L)
 
-        sX = from_mjr(oX)
-        sY = from_mjr(oY)
-        sZ = from_mjr(oZ)
+        sX = from_mlb(oX)
+        sY = from_mlb(oY)
+        sZ = from_mlb(oZ)
 
         vX, vY, vZ, vd = jax.vmap(compact_part)(sX, sY, sZ, d)  # (WP, K, ...)
 

@@ -123,6 +123,117 @@ def _ntt_impl(params: FieldParams, a: jax.Array, tw: jax.Array, log_n: int,
     return a
 
 
+# --- two-pass four-step NTT (whole-transform VMEM residency) ---------------
+#
+# n = N1 * N2 (both <= 2^11 = the fused kernel's chunk): pass A runs N2
+# independent size-N1 sub-NTTs (packed into 2048-lane chunks, all stages in
+# one VMEM residency), the inter-pass twiddles w^(j*k1) are one fused
+# Pallas multiply, pass B runs N1 size-N2 sub-NTTs. Strided work happens
+# only in the 3 dense transposes — the per-stage strided reshape/stack
+# interleaves of the flat radix-2 path (11 HBM round trips at 2^22) go away.
+
+_FOUR_STEP_MIN_LOG = 12
+
+
+def _four_step_split(log_n: int) -> tuple[int, int]:
+    log_n1 = log_n // 2
+    assert log_n - log_n1 <= 11, "four-step needs n <= 2^22"
+    return log_n1, log_n - log_n1
+
+
+@functools.cache
+def _four_step_twiddles(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
+    """(L, n) device table: tw[:, j*N1 + k1] = w^(+-j*k1) [* n^-1 if inverse]."""
+    from ..fields import mont
+
+    n = 1 << log_n
+    log_n1, log_n2 = _four_step_split(log_n)
+    N1, N2 = 1 << log_n1, 1 << log_n2
+    w = params.nth_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, params.p)
+    ptab = power_table(params, w, n)  # (n, L) Montgomery
+    j = np.arange(N2, dtype=np.int64)[:, None]
+    k1 = np.arange(N1, dtype=np.int64)[None, :]
+    idx = ((j * k1) % n).astype(np.int32).reshape(-1)
+    tw = jnp.take(ptab, jnp.asarray(idx), axis=0)  # (N2*N1, L)
+    if inverse:
+        # fold the 1/n scale into the (single) twiddle pass
+        ninv = _n_inv_mont(params, log_n)
+        tw = mont.mont_mul(params, tw, jnp.broadcast_to(ninv, tw.shape))
+    return tw.T.copy()  # (L, n) limb-major
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def _four_step_run(params: FieldParams, at, tw, passA, passB, perm1, perm2,
+                   log_n: int):
+    """at: (L, n) limb-major natural order -> (L, n) transformed."""
+    from ..fields.pallas_mont import (
+        FUSED_CHUNK,
+        _fused_pass_call,
+        mont_mul_lm,
+    )
+
+    n = 1 << log_n
+    log_n1, log_n2 = _four_step_split(log_n)
+    N1, N2 = 1 << log_n1, 1 << log_n2
+    interpret = jax.default_backend() != "tpu"
+    L = NUM_LIMBS
+
+    tw1, hi1 = passA
+    tw2, hi2 = passB
+
+    # pass A: size-N1 NTT over i for each column j
+    A = at.reshape(L, N1, N2)
+    At = jnp.swapaxes(A, 1, 2)  # (L, N2, N1): row j holds i contiguous
+    At = jnp.take(At, perm1, axis=2)  # bit-reverse within each sub-NTT
+    flat = At.reshape(L, n)
+    flat = _fused_pass_call(params, log_n1, n, interpret)(flat, tw1, hi1)
+    # inter-pass twiddles (+ 1/n for inverse) in one fused multiply
+    flat = mont_mul_lm(params, flat, tw)
+    # pass B: size-N2 NTT over j for each row k1
+    B = jnp.swapaxes(flat.reshape(L, N2, N1), 1, 2)  # (L, N1, N2)
+    B = jnp.take(B, perm2, axis=2)
+    flat = _fused_pass_call(params, log_n2, n, interpret)(B.reshape(L, n), tw2, hi2)
+    # natural order: out[k1 + N1*k2] = D[k1, k2]
+    D = flat.reshape(L, N1, N2)
+    return jnp.swapaxes(D, 1, 2).reshape(L, n)
+
+
+def _four_step_ok(params: FieldParams, log_n: int) -> bool:
+    from ..fields.pallas_mont import FUSED_CHUNK
+
+    if log_n < _FOUR_STEP_MIN_LOG or log_n > 22:
+        return False
+    log_n1, log_n2 = _four_step_split(log_n)
+    return (1 << log_n1) <= FUSED_CHUNK and (1 << log_n2) <= FUSED_CHUNK
+
+
+def ntt_four_step(params: FieldParams, a: jax.Array, inverse: bool = False) -> jax.Array:
+    """Four-step NTT of (n, L) natural-order input. For inverse, the 1/n
+    scale is already folded in (full intt equivalence)."""
+    from ..fields.pallas_mont import fused_pass_tables
+
+    n = a.shape[0]
+    log_n = n.bit_length() - 1
+    log_n1, log_n2 = _four_step_split(log_n)
+    tw = _four_step_twiddles(params, log_n, inverse)
+    passA = fused_pass_tables(params, log_n1, inverse)
+    passB = fused_pass_tables(params, log_n2, inverse)
+    perm1 = jnp.asarray(bit_reverse_perm(log_n1))
+    perm2 = jnp.asarray(bit_reverse_perm(log_n2))
+    out = _four_step_run(params, a.T, tw, passA, passB, perm1, perm2, log_n)
+    return out.T
+
+
+def _use_four_step(log_n: int) -> bool:
+    import os
+
+    if os.environ.get("ZKDCAP_NO_FOUR_STEP"):
+        return False
+    return jax.default_backend() == "tpu" and log_n >= _FOUR_STEP_MIN_LOG and log_n <= 22
+
+
 def ntt(params: FieldParams, a: jax.Array) -> jax.Array:
     """Forward NTT: coefficients (natural order) -> evaluations at w^i."""
     n = a.shape[0]
@@ -130,6 +241,8 @@ def ntt(params: FieldParams, a: jax.Array) -> jax.Array:
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return a
+    if _use_four_step(log_n):
+        return ntt_four_step(params, a, False)
     return _ntt_impl(params, a, twiddle_table(params, log_n, False), log_n, False)
 
 
@@ -156,11 +269,14 @@ def ntt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
         return []
     n = arrays[0].shape[0]
     log_n = n.bit_length() - 1
-    tw = twiddle_table(params, log_n, False)
     padded = _pad_batch(arrays)
     batch = jnp.stack(padded)
     # lax.map (not vmap): the body may contain a pallas_call
-    out = jax.lax.map(lambda x: _ntt_impl(params, x, tw, log_n, False), batch)
+    if _use_four_step(log_n):
+        out = jax.lax.map(lambda x: ntt_four_step(params, x, False), batch)
+    else:
+        tw = twiddle_table(params, log_n, False)
+        out = jax.lax.map(lambda x: _ntt_impl(params, x, tw, log_n, False), batch)
     return [out[i] for i in range(len(arrays))]
 
 
@@ -170,10 +286,13 @@ def intt_many(params: FieldParams, arrays: list[jax.Array]) -> list[jax.Array]:
         return []
     n = arrays[0].shape[0]
     log_n = n.bit_length() - 1
-    tw = twiddle_table(params, log_n, True)
-    ninv = _n_inv_mont(params, log_n)
     padded = _pad_batch(arrays)
     batch = jnp.stack(padded)
+    if _use_four_step(log_n):
+        out = jax.lax.map(lambda x: ntt_four_step(params, x, True), batch)
+        return [out[i] for i in range(len(arrays))]
+    tw = twiddle_table(params, log_n, True)
+    ninv = _n_inv_mont(params, log_n)
 
     def one(x):
         y = _ntt_impl(params, x, tw, log_n, True)
@@ -190,6 +309,8 @@ def intt(params: FieldParams, a: jax.Array) -> jax.Array:
     assert 1 << log_n == n
     if n == 1:
         return a
+    if _use_four_step(log_n):
+        return ntt_four_step(params, a, True)
     out = _ntt_impl(params, a, twiddle_table(params, log_n, True), log_n, True)
     ninv = jnp.broadcast_to(_n_inv_mont(params, log_n), out.shape)
     return mont.mont_mul(params, out, ninv)
