@@ -1,0 +1,105 @@
+"""Multi-host runtime path (SURVEY.md §5.8, VERDICT round-1 item 9).
+
+Real pod slices are unavailable here, so the (host, chip) mesh axes are
+CPU-simulated over the 8 virtual devices (2 hosts x 4 chips) and the
+`jax.distributed.initialize` entry point is exercised in a subprocess with
+num_processes=1 — on real hardware the same code path scales by env vars
+(ZKDCAP_COORDINATOR / ZKDCAP_NUM_PROCESSES / ZKDCAP_PROCESS_ID) only.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from zkdcap_tpu.curves import BN254_G1
+from zkdcap_tpu.curves.device_g1 import G1_SPEC, decode_points, encode_points
+from zkdcap_tpu.fields import BN254_FR, mont
+from zkdcap_tpu.parallel import proving_mesh, sharded_msm, sharded_ntt
+from zkdcap_tpu.parallel.mesh import multihost_mesh
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def test_multihost_mesh_shape():
+    mesh = multihost_mesh(num_hosts=2)
+    assert mesh.axis_names == ("host", "chip")
+    assert mesh.shape["host"] == 2 and mesh.shape["chip"] == 4
+
+
+def test_sharded_msm_over_host_chip_axes():
+    mesh = multihost_mesh(num_hosts=2)
+    n = 64
+    pts_host = [BN254_G1.mul(i + 1, BN254_G1.g) for i in range(n)]
+    pts = encode_points(G1_SPEC, pts_host)
+    scalars = mont.encode_ints(BN254_FR, [i + 2 for i in range(n)])
+    R3 = sharded_msm(mesh, pts, scalars)  # axis defaults to ("host", "chip")
+    got = decode_points(G1_SPEC, tuple(r[None] for r in R3))[0]
+    assert got == BN254_G1.msm([i + 2 for i in range(n)], pts_host)
+
+
+def test_sharded_ntt_over_host_chip_axes():
+    from zkdcap_tpu.ntt import ntt as single_ntt
+
+    mesh = multihost_mesh(num_hosts=2)
+    n = 1 << 8
+    vals = [(i * 7919 + 13) % BN254_FR.p for i in range(n)]
+    a = mont.encode_ints(BN254_FR, vals)
+    out = sharded_ntt(mesh, a)
+    ref = single_ntt(BN254_FR, a)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_mesh_prover_on_multihost_mesh(tmp_path):
+    from test_plonk_e2e import K, build_cs, witness
+
+    from zkdcap_tpu.commit import ParamsKZG, gen_srs
+    from zkdcap_tpu.plonk.keygen import keygen
+    from zkdcap_tpu.plonk.prover import create_proof
+    from zkdcap_tpu.plonk.verifier import verify_proof
+    from zkdcap_tpu.transcript import TranscriptWriter
+
+    params = ParamsKZG(srs=gen_srs(K, cache_dir=str(tmp_path)))
+    cs, _ = build_cs()
+    q_vals, t_vals, a_vals, b_vals, c_vals, inst = witness()
+    pk = keygen(params, cs, [q_vals, t_vals])
+    advice = [mont.encode_ints(BN254_FR, col) for col in (a_vals, b_vals, c_vals)]
+    seed = b"multihost-parity"
+    single = create_proof(params, pk, advice, [inst],
+                          TranscriptWriter("blake2b"), blinding_seed=seed)
+    mesh = multihost_mesh(num_hosts=2)
+    multi = create_proof(params, pk, advice, [inst],
+                         TranscriptWriter("blake2b"), blinding_seed=seed, mesh=mesh)
+    assert multi == single, "proof bytes diverge on (host, chip) mesh"
+    assert verify_proof(params, pk.vk, [inst], multi)
+
+
+def test_distributed_initialize_entry_point():
+    """jax.distributed.initialize smoke test (subprocess: it may only run
+    once per process and must not pollute the suite's runtime)."""
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["ZKDCAP_COORDINATOR"] = "localhost:12655"
+os.environ["ZKDCAP_NUM_PROCESSES"] = "1"
+os.environ["ZKDCAP_PROCESS_ID"] = "0"
+import sys
+sys.path.insert(0, %r)
+import jax
+from zkdcap_tpu.parallel.mesh import init_distributed, multihost_mesh
+assert init_distributed() is True
+assert jax.process_count() == 1
+# under jax.distributed the CPU client ignores
+# xla_force_host_platform_device_count, so only 1 device here: build the
+# (host, chip) mesh at 1x1 — the 2x4 shape is covered by the other tests
+mesh = multihost_mesh()
+assert mesh.axis_names == ("host", "chip")
+assert mesh.shape["host"] == jax.process_count()
+print("distributed-init OK")
+""" % os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert "distributed-init OK" in out.stdout, out.stderr[-2000:]

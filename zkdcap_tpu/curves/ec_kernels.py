@@ -108,13 +108,16 @@ def _mk_ec_add_kernel(spec: CurveSpec, fallback: str):
     b3 = [(b3m >> (W * i)) & MASK for i in range(L)]
 
     def kernel(x1r, y1r, z1r, x2r, y2r, z2r, mr, ox, oy, oz):
+        # block shape (L, SUB, 128): each limb slice is a full (SUB, 128)
+        # VPU tile stack — a flat (1, B) row would drive only 1 of 8
+        # sublanes (the round-1 kernels' main inefficiency)
         mul, fadd, fsub = _field_ops(p_limbs, n0inv)
-        X1 = [x1r[i, :] for i in range(L)]
-        Y1 = [y1r[i, :] for i in range(L)]
-        Z1 = [z1r[i, :] for i in range(L)]
-        X2 = [x2r[i, :] for i in range(L)]
-        Y2 = [y2r[i, :] for i in range(L)]
-        Z2 = [z2r[i, :] for i in range(L)]
+        X1 = [x1r[i] for i in range(L)]
+        Y1 = [y1r[i] for i in range(L)]
+        Z1 = [z1r[i] for i in range(L)]
+        X2 = [x2r[i] for i in range(L)]
+        Y2 = [y2r[i] for i in range(L)]
+        Z2 = [z2r[i] for i in range(L)]
         b3v = [jnp.full_like(X1[0], c) for c in b3]
 
         t0 = mul(X1, X2)
@@ -132,26 +135,41 @@ def _mk_ec_add_kernel(spec: CurveSpec, fallback: str):
         Y3 = fadd(mul(t1, Z3), mul(Y3, t0))
         Z3 = fadd(mul(Z3, t4), mul(t0, t3))
 
-        mask = mr[0, :] > 0
+        mask = mr[0] > 0
         FB = (X2, Y2, Z2) if fallback == "q" else (X1, Y1, Z1)
         for i in range(L):
-            ox[i, :] = jnp.where(mask, X3[i], FB[0][i])
-            oy[i, :] = jnp.where(mask, Y3[i], FB[1][i])
-            oz[i, :] = jnp.where(mask, Z3[i], FB[2][i])
+            ox[i] = jnp.where(mask, X3[i], FB[0][i])
+            oy[i] = jnp.where(mask, Y3[i], FB[1][i])
+            oz[i] = jnp.where(mask, Z3[i], FB[2][i])
 
     return kernel
+
+
+LANE = 128
+MAX_SUB = 64  # rows per grid step: block (L, 64, 128) = 512 KiB x 10 refs
+
+
+def _fold_sub(m_cols: int) -> int:
+    """Largest SUB <= MAX_SUB with SUB*LANE dividing m_cols."""
+    rows = m_cols // LANE
+    sub = MAX_SUB
+    while sub > 1 and rows % sub:
+        sub //= 2
+    return sub
 
 
 @functools.cache
 def _ec_add_call(spec: CurveSpec, fallback: str, m_cols: int, interpret: bool):
     kernel = _mk_ec_add_kernel(spec, fallback)
-    grid = (m_cols // BLOCK,)
-    spec_c = pl.BlockSpec((L, BLOCK), lambda i: (0, i))
-    spec_m = pl.BlockSpec((1, BLOCK), lambda i: (0, i))
+    sub = _fold_sub(m_cols)
+    rows = m_cols // LANE
+    grid = (rows // sub,)
+    spec_c = pl.BlockSpec((L, sub, LANE), lambda i: (0, i, 0))
+    spec_m = pl.BlockSpec((1, sub, LANE), lambda i: (0, i, 0))
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((L, m_cols), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((L, rows, LANE), jnp.uint32) for _ in range(3)
         ),
         grid=grid,
         in_specs=[spec_c] * 6 + [spec_m],
@@ -162,10 +180,17 @@ def _ec_add_call(spec: CurveSpec, fallback: str, m_cols: int, interpret: bool):
 
 def ec_add_select_lm(spec: CurveSpec, P, Q, mask, fallback: str):
     """Limb-major fused op: P, Q are 3-tuples of (L, M) arrays; mask (1, M)
-    uint32. Returns mask ? P⊕Q : fallback. M must be a multiple of BLOCK."""
+    uint32. Returns mask ? P⊕Q : fallback. M must be a multiple of 128."""
     interpret = jax.default_backend() != "tpu"
-    call = _ec_add_call(spec, fallback, P[0].shape[1], interpret)
-    return call(*P, *Q, mask)
+    m_cols = P[0].shape[1]
+    rows = m_cols // LANE
+    call = _ec_add_call(spec, fallback, m_cols, interpret)
+
+    def fold(a):
+        return a.reshape(a.shape[0], rows, LANE)
+
+    out = call(*(fold(c) for c in P), *(fold(c) for c in Q), fold(mask))
+    return tuple(c.reshape(L, m_cols) for c in out)
 
 
 def ec_add_select(spec: CurveSpec, P, Q, mask, fallback: str):
@@ -173,7 +198,7 @@ def ec_add_select(spec: CurveSpec, P, Q, mask, fallback: str):
 
     Falls back to the jnp complete-add path off-TPU or for unaligned M."""
     M = P[0].shape[0]
-    if M % BLOCK or jax.default_backend() != "tpu":
+    if M % LANE or jax.default_backend() != "tpu":
         from .device_g1 import ec_add, ec_select
 
         s = ec_add(spec, P, Q)

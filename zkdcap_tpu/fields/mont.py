@@ -30,7 +30,9 @@ from .params import LIMB_BITS, LIMB_MASK, NUM_LIMBS, FieldParams, int_to_limbs
 
 L = NUM_LIMBS
 W = LIMB_BITS
-MASK = jnp.uint32(LIMB_MASK)
+# np (not jnp) scalar: a module-level jnp constant would initialise the XLA
+# backend at import time, breaking jax.distributed.initialize (mesh.py)
+MASK = np.uint32(LIMB_MASK)
 
 
 # --- packing ---------------------------------------------------------------

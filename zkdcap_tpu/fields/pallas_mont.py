@@ -198,14 +198,30 @@ def _mk_mul_kernel(params: FieldParams):
     return kernel
 
 
+_LANE = 128
+_MAX_SUB = 64
+
+
+def _fold_sub(m_cols: int) -> int:
+    rows = m_cols // _LANE
+    sub = _MAX_SUB
+    while sub > 1 and rows % sub:
+        sub //= 2
+    return sub
+
+
 @functools.cache
 def _mul_call(params: FieldParams, m_cols: int, interpret: bool):
     kernel = _mk_mul_kernel(params)
-    grid = (m_cols // BLOCK,)
-    spec = pl.BlockSpec((L, BLOCK), lambda i: (0, i))
+    # fold lanes to (SUB, 128) tiles per limb: a flat (1, B) row uses only
+    # 1 of 8 VPU sublanes
+    sub = _fold_sub(m_cols)
+    rows = m_cols // _LANE
+    grid = (rows // sub,)
+    spec = pl.BlockSpec((L, sub, _LANE), lambda i: (0, i, 0))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, m_cols), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, rows, _LANE), jnp.uint32),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
@@ -215,9 +231,14 @@ def _mul_call(params: FieldParams, m_cols: int, interpret: bool):
 
 def mont_mul_lm(params: FieldParams, a_t: jax.Array, b_t: jax.Array) -> jax.Array:
     """Elementwise Montgomery multiply in limb-major (L, M) layout — ONE
-    VMEM pass (the jnp mont_mul scan materialises all 16 CIOS rounds)."""
+    VMEM pass (the jnp mont_mul scan materialises all 16 CIOS rounds).
+    M must be a multiple of 128."""
     interpret = jax.default_backend() != "tpu"
-    return _mul_call(params, a_t.shape[1], interpret)(a_t, b_t)
+    m_cols = a_t.shape[1]
+    rows = m_cols // _LANE
+    call = _mul_call(params, m_cols, interpret)
+    out = call(a_t.reshape(L, rows, _LANE), b_t.reshape(L, rows, _LANE))
+    return out.reshape(L, m_cols)
 
 
 # --- fused low-stage NTT pass ----------------------------------------------

@@ -1,18 +1,55 @@
-"""Device-mesh construction for multi-chip proving.
+"""Device-mesh construction for multi-chip / multi-host proving.
 
 The reference has NO distributed backend (rayon threads only, SURVEY.md
 §2.3/§5.8); this module is the designed-from-scratch TPU equivalent:
-a named `jax.sharding.Mesh` over all visible chips with one data axis
-("shard"), used by the sharded MSM/NTT. Multi-host extension: pass the
-global device list (jax.distributed handles process groups); the collective
-patterns below are axis-name based and host-count agnostic.
+
+  * `proving_mesh`: one named data axis ("shard") over local chips;
+  * `init_distributed`: the `jax.distributed.initialize` entry point
+    (SURVEY.md §5.8), env-driven so a pod slice is a config change —
+    ZKDCAP_COORDINATOR / ZKDCAP_NUM_PROCESSES / ZKDCAP_PROCESS_ID;
+  * `multihost_mesh`: a (host, chip) 2D mesh over the global device list;
+    the sharded MSM/NTT accept either a single axis name or the tuple of
+    both, flattening them — collectives ride ICI within a host and DCN
+    across hosts exactly as laid out by the mesh.
+
+All collective patterns are axis-name based and host-count agnostic; they
+are CPU-simulated in tests via xla_force_host_platform_device_count.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialise the multi-host runtime if configured; returns True when
+    running distributed. With no coordinator configured this is a no-op
+    (single-host mode) so the same binary serves both deployments."""
+    coordinator_address = coordinator_address or os.environ.get("ZKDCAP_COORDINATOR")
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=int(
+            num_processes
+            if num_processes is not None
+            else os.environ.get("ZKDCAP_NUM_PROCESSES", 1)
+        ),
+        process_id=int(
+            process_id
+            if process_id is not None
+            else os.environ.get("ZKDCAP_PROCESS_ID", 0)
+        ),
+    )
+    return True
 
 
 def proving_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -21,3 +58,40 @@ def proving_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
         assert len(devs) >= n_devices, f"need {n_devices} devices, have {len(devs)}"
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def multihost_mesh(
+    num_hosts: int | None = None,
+    host_axis: str = "host",
+    chip_axis: str = "chip",
+) -> Mesh:
+    """(host, chip) mesh over the global device list. On a real pod slice
+    num_hosts defaults to jax.process_count(); on a CPU simulation pass it
+    explicitly to carve the virtual devices into host groups."""
+    devs = np.array(jax.devices())
+    if num_hosts is None:
+        num_hosts = jax.process_count()
+    assert len(devs) % num_hosts == 0, (
+        f"{len(devs)} devices not divisible by {num_hosts} hosts"
+    )
+    return Mesh(devs.reshape(num_hosts, -1), (host_axis, chip_axis))
+
+
+def flat_axis_index(axis):
+    """Linear shard index for a single axis name or a tuple of axis names
+    (row-major over the tuple) — usable inside shard_map."""
+    if isinstance(axis, str):
+        return jax.lax.axis_index(axis)
+    idx = jax.lax.axis_index(axis[0])
+    for a in axis[1:]:
+        idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+    return idx
+
+
+def axis_count(mesh: Mesh, axis) -> int:
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    n = 1
+    for a in axis:
+        n *= mesh.shape[a]
+    return n

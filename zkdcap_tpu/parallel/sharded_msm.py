@@ -29,13 +29,17 @@ def sharded_msm(
     points: jax.Array,
     scalars_mont: jax.Array,
     spec: CurveSpec = G1_SPEC,
-    axis: str = "shard",
+    axis: str | tuple = None,
 ):
     """points uint32[N,2,L] affine Montgomery, scalars (N,L) Montgomery Fr.
 
     N must be divisible by the mesh size. Returns a single projective Point
-    (host-replicated arrays of shape (L,)).
+    (host-replicated arrays of shape (L,)). `axis` may be one axis name or
+    a tuple (e.g. ("host", "chip") on a multi-host mesh) — points shard
+    over the flattened axes.
     """
+    if axis is None:
+        axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     N = points.shape[0]
     assert N % n_dev == 0, f"N={N} not divisible by {n_dev} devices"

@@ -34,12 +34,18 @@ def sharded_ntt(
     mesh: Mesh,
     a: jax.Array,
     params: FieldParams = BN254_FR,
-    axis: str = "shard",
+    axis: str | tuple = None,
 ) -> jax.Array:
-    """Forward NTT of a (n, L) coefficient array, n = N1*N2 a power of two."""
+    """Forward NTT of a (n, L) coefficient array, n = N1*N2 a power of two.
+
+    `axis` may be a single mesh axis or a tuple (multi-host (host, chip)
+    meshes) — the all-to-all stage exchange then spans the flattened axes
+    (ICI within a host, DCN across hosts)."""
     n = a.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    if axis is None:
+        axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     log_n1 = log_n // 2
     n1 = 1 << log_n1
@@ -60,7 +66,9 @@ def sharded_ntt(
     def run(a_cols, tw1_, tw2_, w_n_):
         # a arrives sharded along flat index = rows of A^T... we shard COLUMN
         # blocks: caller passes A laid out column-major (n2, n1, L) flattened.
-        me = jax.lax.axis_index(axis)
+        from .mesh import flat_axis_index
+
+        me = flat_axis_index(axis)
         cols = a_cols.reshape(-1, n1, L)  # (n2/D, n1, L): local columns j
         # step 1: NTT_N1 along axis 1 (the column contents)
         f = lambda x: _ntt_impl(params, x, tw1_, log_n1)

@@ -142,12 +142,16 @@ def create_proof(
             _t[0] = now
 
     def _shard(arr):
-        """Row-shard a (rows, L) array over the mesh (no-op single-chip)."""
+        """Row-shard a (rows, L) array over the mesh (no-op single-chip).
+        Works for 1D ("shard",) and multi-host ("host", "chip") meshes —
+        rows shard over the flattened mesh axes."""
         if mesh is None:
             return arr
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(arr, NamedSharding(mesh, P("shard", None)))
+        names = mesh.axis_names
+        row_axes = names[0] if len(names) == 1 else tuple(names)
+        return jax.device_put(arr, NamedSharding(mesh, P(row_axes, None)))
 
     cs = pk.cs
     n = 1 << pk.k
