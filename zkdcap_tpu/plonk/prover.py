@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import metrics
 from ..commit.kzg import ParamsKZG
 from ..commit.shplonk import ProverQuery, shplonk_open
 from ..fields import BN254_FR, mont
@@ -136,10 +137,12 @@ def create_proof(
     _t = [_time.time()]
 
     def _phase(name):
+        now = _time.time()
+        metrics.record(f"prover.{name}", now - _t[0], k=pk.vk.k,
+                       mesh=None if mesh is None else str(dict(mesh.shape)))
         if timing:
-            now = _time.time()
             print(f"[prover] {name}: {now - _t[0]:.2f}s", file=sys.stderr, flush=True)
-            _t[0] = now
+        _t[0] = now
 
     def _shard(arr):
         """Row-shard a (rows, L) array over the mesh (no-op single-chip).
