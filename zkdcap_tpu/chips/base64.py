@@ -30,12 +30,24 @@ B64_TABLE_ROWS = [(0, 0), (ord("="), 0)] + [
 TABLE_NAME = "base64"
 
 
+# total char_code -> sextet map for the witness-replay tracer table
+# (invalid codes map to 0; the pair lookup still rejects them in-circuit)
+_B64_REV256 = [0] * 256
+for _i, _ch in enumerate(B64_ALPHABET):
+    _B64_REV256[ord(_ch)] = _i
+
+
 class Base64Chip:
     def __init__(self, gate: FlexGate, rc: RangeChip):
         self.gate = gate
         self.ctx = gate.ctx
         self.rc = rc
         self.ctx.register_pair_table(TABLE_NAME, B64_TABLE_ROWS)
+        self._rev_tid = (
+            self.ctx.tracer.register_table(_B64_REV256)
+            if self.ctx.tracer is not None
+            else None
+        )
 
     def decode(self, text: str) -> list[tuple[int, int]]:
         """Push the base64 chars as witness cells and prove the decode.
@@ -48,10 +60,18 @@ class Base64Chip:
         expected = base64.b64decode(text)
         out: list[tuple[int, int]] = []
         n_pad = text.count("=")
+        tr = ctx.tracer
         for gi in range(0, len(text), 4):
             chars = text[gi : gi + 4]
-            svals = [0 if c == "=" else B64_ALPHABET.index(c) for c in chars]
-            ccells = [ctx.push(ord(c)) for c in chars]
+            if tr is not None:
+                # per-proof inputs: the char codes; sextets via a traced
+                # table node so the whole decode replays from the DAG
+                cvals = [tr.input(ord(c)) for c in chars]
+                svals = [tr.table(self._rev_tid, cv) for cv in cvals]
+            else:
+                cvals = [ord(c) for c in chars]
+                svals = [0 if c == "=" else B64_ALPHABET.index(c) for c in chars]
+            ccells = [ctx.push(v) for v in cvals]
             scells = [ctx.push(v) for v in svals]
             for cc, sc in zip(ccells, scells):
                 ctx.pair_lookup(TABLE_NAME, cc, sc)

@@ -353,8 +353,11 @@ class BigIntChip:
             if carry_prev is not None:
                 lhs = g.add(lhs, carry_prev[0])
                 lv += carry_prev[1]
-            carry_bit = 1 if lv - pm1[k] == LIMB_BASE else 0
-            assert lv - pm1[k] in (0, LIMB_BASE), "lt_p carry broke"
+            # (lv - pm1[k]) is 0 or LIMB_BASE; arithmetic (not a python
+            # branch) so the hint stays traced for witness replay
+            carry_bit = (lv - pm1[k]) // LIMB_BASE
+            assert (lv - pm1[k]) % LIMB_BASE == 0, "lt_p carry broke"
+            assert carry_bit * (carry_bit - 1) == 0, "lt_p carry broke"
             cb = self.ctx.push(carry_bit)
             g.assert_bit(cb)
             rhs = g.mul_const_add(cb, LIMB_BASE % R, g.constant(pm1[k]))
@@ -389,9 +392,14 @@ class BigIntChip:
         g = self.gate
         limbs = [g.select(x, y_, sel) for x, y_ in zip(a.limbs, b.limbs)]
         native = g.select(a.native, b.native, sel)
-        take_a = bool(self.ctx.value(sel))
-        val = a.value if take_a else b.value
-        lv = a.limb_vals if take_a else b.limb_vals
+        # traced arithmetic select (witness replay): sel's shadow value is
+        # 0/1, so sv*(x-y)+y keeps the dataflow on the DAG instead of
+        # baking this input's branch
+        from ..witness.tracer import t_sel
+
+        sv = self.ctx.value(sel)
+        val = t_sel(sv, a.value, b.value)
+        lv = [t_sel(sv, x, y_) for x, y_ in zip(a.limb_vals, b.limb_vals)]
         return CRTInt(
             limbs, native, val, list(lv),
             max(a.limb_bound, b.limb_bound), min(a.vmin, b.vmin), max(a.vmax, b.vmax),

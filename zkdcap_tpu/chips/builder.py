@@ -293,6 +293,55 @@ class CircuitBuilder:
             base += 2 * meta[0]
         return cols
 
+    def witness_limbs(self, compiled: CompiledCircuit, ctx: Context, cells_u16):
+        """Vectorized witness fill from the native replay's raw limb array.
+
+        cells_u16: (num_cells, 16) uint16 little-endian 16-bit limbs (the
+        C++ evaluator's output layout, = mont.encode_ints' host layout).
+        Returns (num_cols, n, 16) uint16 ready for uint32-cast + to_mont —
+        no per-cell Python loop (SURVEY.md §2.3 row 3: witness fill is part
+        of the compiled path).
+
+        `ctx` supplies only the structural index lists (lookup_cells,
+        spread_pairs, pair_lookups) — its cell values are not read.
+        """
+        import numpy as np
+
+        n = 1 << self.k
+        pin = compiled.pinning
+        u = compiled.cs.usable_rows(n)
+        assert cells_u16.shape == (pin.num_cells, 16)
+        n_pair_cols = 2 * sum(v[0] for v in (pin.pair_table_meta or {}).values())
+        ncols = (
+            pin.num_advice + pin.num_lookup_advice + 2 * pin.num_spread_advice + n_pair_cols
+        )
+        out = np.zeros((ncols, n, 16), np.uint16)
+        pos = np.asarray(compiled.advice_of_cell, np.int64)  # (num_cells, 2)
+        out[pos[:, 0], pos[:, 1]] = cells_u16
+        if ctx.lookup_cells:
+            lc = np.asarray(ctx.lookup_cells, np.int64)
+            lpos = np.asarray(compiled.lookup_of_cell, np.int64)
+            out[pin.num_advice + lpos[:, 0], lpos[:, 1]] = cells_u16[lc]
+        base = pin.num_advice + pin.num_lookup_advice
+        if ctx.spread_pairs:
+            sp = np.asarray(ctx.spread_pairs, np.int64)  # (m, 2) cell ids
+            slots = np.arange(len(sp))
+            pci, prow = slots // u, slots % u
+            out[base + 2 * pci, prow] = cells_u16[sp[:, 0]]
+            out[base + 2 * pci + 1, prow] = cells_u16[sp[:, 1]]
+        base += 2 * pin.num_spread_advice
+        for name in sorted(ctx.pair_tables):
+            meta = (pin.pair_table_meta or {}).get(name, [0, 0])
+            pl = ctx.pair_lookups[name]
+            if pl:
+                pp = np.asarray(pl, np.int64)
+                slots = np.arange(len(pp))
+                pci, prow = slots // u, slots % u
+                out[base + 2 * pci, prow] = cells_u16[pp[:, 0]]
+                out[base + 2 * pci + 1, prow] = cells_u16[pp[:, 1]]
+            base += 2 * meta[0]
+        return out
+
     def instance_values(self, ctx: Context) -> list[list[int]]:
         if not ctx.instance_cells:
             return []

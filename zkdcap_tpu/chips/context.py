@@ -19,13 +19,18 @@ what makes the keygen layout / prover witness split ("pinning",
 from __future__ import annotations
 
 from ..fields import BN254_FR
+from ..witness.tracer import TInt
 
 R = BN254_FR.p
 
 
 class Context:
-    def __init__(self):
-        self.cells: list[int] = []  # witness values
+    def __init__(self, tracer=None):
+        # Optional witness-dataflow tracer (witness/tracer.py): when set,
+        # input-derived cell values are TInt proxies and every push binds
+        # the cell to a DAG node, enabling compiled witness replay.
+        self.tracer = tracer
+        self.cells: list[int] = []  # witness values (TInt while recording)
         self.gate_offsets: list[int] = []  # tape indices where q = 1
         self.copies: list[tuple[int, int]] = []  # cell equality constraints
         self.constant_cells: list[tuple[int, int]] = []  # (cell, constant value)
@@ -51,7 +56,12 @@ class Context:
 
     def push(self, value: int) -> int:
         idx = len(self.cells)
-        self.cells.append(value % R)
+        if isinstance(value, TInt):
+            # keep the traced proxy so downstream shadow arithmetic stays
+            # on the DAG; skip the mod node when already reduced
+            self.cells.append(value if 0 <= value.v < R else value % R)
+        else:
+            self.cells.append(value % R)
         return idx
 
     def enable_gate(self, offset: int) -> None:
@@ -65,6 +75,7 @@ class Context:
 
     def constant(self, value: int) -> int:
         """Push a cell pinned to a constant (via copy to the const column)."""
+        assert not isinstance(value, TInt), "fixed-column constant can't be traced"
         idx = self.push(value)
         self.constant_cells.append((idx, value % R))
         return idx
@@ -218,8 +229,10 @@ class FlexGate:
         """Returns boolean cell: 1 if a == 0 else 0 (standard inverse trick)."""
         ctx = self.ctx
         va = ctx.value(a)
-        inv = ctx.push(pow(va, -1, R) if va else 1)
-        out_val = 1 if va == 0 else 0
+        # (va == 0) is bool for plain ints and a traced 0/1 TBool node for
+        # TInt — either way va + (va == 0) is nonzero and invertible, and
+        # the whole hint stays on the dataflow DAG for witness replay.
+        inv = ctx.push(pow(va + (va == 0), -1, R))
         # out = 1 - a * inv ; a * out = 0
         prod = self.mul(a, inv)
         one = ctx.constant(1)

@@ -80,7 +80,11 @@ class EccChip:
         return EcPoint(P.x, self.fp.neg(P.y), self.curve.neg_pt(P.host))
 
     def select(self, P: EcPoint, Q: EcPoint, sel: int) -> EcPoint:
-        host = P.host if self.fp.ctx.value(sel) else Q.host
+        # traced select on the host shadow point too (witness replay)
+        from ..witness.tracer import t_sel
+
+        sv = self.fp.ctx.value(sel)
+        host = (t_sel(sv, P.host[0], Q.host[0]), t_sel(sv, P.host[1], Q.host[1]))
         return EcPoint(
             self.fp.select(P.x, Q.x, sel), self.fp.select(P.y, Q.y, sel), host
         )

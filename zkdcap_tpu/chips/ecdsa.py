@@ -55,7 +55,8 @@ def ecdsa_verify_no_pubkey_check(
     assert curve.p < 2 * curve.n
     x_c = ecc.fp.reduce_canonical(R_pt.x)
     x_val = x_c.value
-    j_val = 0 if x_val == r_c.value else 1
+    # traced 0/1 node for TInt shadow values (witness replay), bool else
+    j_val = (x_val != r_c.value) * 1
     assert x_val == r_c.value + j_val * curve.n, "ecdsa witness: x(R) != r mod n"
     ctx = g.ctx
     j = ctx.push(j_val)

@@ -73,7 +73,8 @@ class RangeChip:
         """Boolean cell: a < b, for a, b < 2^bits."""
         gate, ctx = self.gate, self.ctx
         va, vb = ctx.value(a), ctx.value(b)
-        lt = 1 if va < vb else 0
+        # bool for plain ints, traced 0/1 node for TInt (witness replay)
+        lt = (va < vb) * 1
         out = ctx.push(lt)
         gate.assert_bit(out)
         # shifted = a - b + 2^bits = 2^bits * (1 - out) + r where r < 2^bits

@@ -56,13 +56,13 @@ H_INIT = [
 ]
 
 
-def spread_int(x: int) -> int:
+def spread_int(x: int, width: int = 32) -> int:
+    # fixed-width loop (not `while x`): iteration count must be
+    # input-independent so traced (TInt) values record a static DAG
+    # for witness replay
     out = 0
-    i = 0
-    while x:
-        out |= (x & 1) << (2 * i)
-        x >>= 1
-        i += 1
+    for i in range(width):
+        out = out | (((x >> i) & 1) << (2 * i))
     return out
 
 
@@ -95,7 +95,7 @@ class Sha256Chip:
         ctx, g = self.ctx, self.gate
         assert 0 <= val < (1 << width) and width <= SPREAD_BITS
         d = ctx.push(val)
-        s = ctx.push(spread_int(val))
+        s = ctx.push(spread_int(val, width))
         ctx.spread_pairs.append((d, s))
         if width < SPREAD_BITS:
             sh = SPREAD_BITS - width
@@ -333,8 +333,9 @@ class Sha256Chip:
         n_blocks = (max_len + 8) // 64 + 1
         total = 64 * n_blocks
 
-        # bit-length as 8 BE bytes, bound to len_cell
-        bl = (8 * len_val).to_bytes(8, "big")
+        # bit-length as 8 BE bytes, bound to len_cell (arithmetic, not
+        # int.to_bytes, so traced len_val values stay on the replay DAG)
+        bl = [((8 * len_val) >> (8 * (7 - j))) & 0xFF for j in range(8)]
         len_bytes = []
         for j, bv in enumerate(bl):
             c = ctx.push(bv)

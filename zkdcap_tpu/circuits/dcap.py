@@ -102,10 +102,18 @@ def _crt_from_be_bytes(fq: BigIntChip, gate: FlexGate, byte_cells, byte_vals):
     return fq.from_limbs(limbs, value)
 
 
-def build_dcap_trace(inp: DcapInput, lookup_bits: int = DCAP_LOOKUP_BITS) -> Context:
+def trace_inputs(inp: DcapInput) -> list[int]:
+    """Flat witness-replay input vector (must match build_dcap_trace's
+    tracer.input order: b64 chars group-wise, report bytes, r, s)."""
+    return [ord(c) for c in inp.cert_b64] + list(inp.qe3_report) + [inp.r, inp.s]
+
+
+def build_dcap_trace(
+    inp: DcapInput, lookup_bits: int = DCAP_LOOKUP_BITS, tracer=None
+) -> Context:
     assert len(inp.cert_b64) == CERT_B64_LEN
     assert len(inp.qe3_report) == QE3_REPORT_LEN
-    ctx = Context()
+    ctx = Context(tracer=tracer)
     gate = FlexGate(ctx)
     rc = RangeChip(gate, lookup_bits)
     fp = BigIntChip(rc, SECP256R1.p)
@@ -120,7 +128,11 @@ def build_dcap_trace(inp: DcapInput, lookup_bits: int = DCAP_LOOKUP_BITS) -> Con
 
     # 2. SHA-256 of the QE3 report -> msghash CRT integer
     report_cells = []
-    report_vals = list(inp.qe3_report)
+    report_vals = (
+        [tracer.input(b) for b in inp.qe3_report]
+        if tracer is not None
+        else list(inp.qe3_report)
+    )
     for b in report_vals:
         c = ctx.push(b)
         rc.range_check(c, 8)
@@ -139,8 +151,13 @@ def build_dcap_trace(inp: DcapInput, lookup_bits: int = DCAP_LOOKUP_BITS) -> Con
     pk = EcPoint(pk_x, pk_y, (pk_x.value, pk_y.value))
 
     # 4. signature witnesses + ECDSA verify (windows (4,4), ref :701-710)
-    r = fq.load_private(inp.r)
-    s = fq.load_private(inp.s)
+    vr, vs = (
+        (tracer.input(inp.r), tracer.input(inp.s))
+        if tracer is not None
+        else (inp.r, inp.s)
+    )
+    r = fq.load_private(vr)
+    s = fq.load_private(vs)
     res = ecdsa_verify_no_pubkey_check(ecc, fq, pk, r, s, m)
     gate.assert_const(res, 1)  # assert_is_const(.., 1), ref :713
     return ctx

@@ -62,19 +62,31 @@ class ECDSAInput:
         return p256_ecdsa_verify(self.msghash, self.r, self.s, (self.x, self.y))
 
 
-def build_ecdsa_trace(inp: ECDSAInput, lookup_bits: int = LOOKUP_BITS) -> Context:
+def trace_inputs(inp: ECDSAInput) -> list[int]:
+    """Flat witness-replay input vector (must match build_ecdsa_trace's
+    tracer.input order)."""
+    return [inp.msghash, inp.r, inp.s, inp.x, inp.y]
+
+
+def build_ecdsa_trace(
+    inp: ECDSAInput, lookup_bits: int = LOOKUP_BITS, tracer=None
+) -> Context:
     """Record the circuit trace (structure is input-independent)."""
-    ctx = Context()
+    ctx = Context(tracer=tracer)
     gate = FlexGate(ctx)
     rc = RangeChip(gate, lookup_bits)
     fp = BigIntChip(rc, SECP256R1.p)
     fq = BigIntChip(rc, SECP256R1.n)
     ecc = EccChip(fp, SECP256R1)
 
-    m = fq.load_private(inp.msghash)
-    r = fq.load_private(inp.r)
-    s = fq.load_private(inp.s)
-    pk = ecc.load_private((inp.x, inp.y))  # no on-curve check: circuit.rs:45
+    if tracer is not None:
+        vm, vr, vs, vx, vy = (tracer.input(v) for v in trace_inputs(inp))
+    else:
+        vm, vr, vs, vx, vy = inp.msghash, inp.r, inp.s, inp.x, inp.y
+    m = fq.load_private(vm)
+    r = fq.load_private(vr)
+    s = fq.load_private(vs)
+    pk = ecc.load_private((vx, vy))  # no on-curve check: circuit.rs:45
 
     # public instances: limbs of m, r, s, pk.x, pk.y (circuit.rs:38-48)
     for crt in (m, r, s, pk.x, pk.y):

@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 
+from .. import metrics
 from ..chips import CircuitBuilder, Pinning
 from ..circuits.dcap import DCAP_LOOKUP_BITS, DcapInput, build_dcap_trace, load_demo_input
 from ..commit import ParamsKZG, gen_srs
@@ -52,11 +53,36 @@ class DcapProver:
             self._params = ParamsKZG(srs=gen_srs(self.k, cache_dir=self.params_dir))
         return self._params
 
+    @property
+    def tape_path(self):
+        return os.path.join(self.params_dir, f"dcap_tape_k{self.k}.npz")
+
     def _compile(self, pinning: Pinning | None = None):
         trace = build_dcap_trace(load_demo_input(), self.lookup_bits)
         builder = CircuitBuilder(self.k, lookup_bits=self.lookup_bits)
         compiled = builder.compile(trace, pinning)
+        self._structure_ctx = trace  # structural index lists for witness fill
         return builder, compiled
+
+    def _get_tape(self):
+        """Witness tape (compiled witness generation): load or record+cache."""
+        if getattr(self, "_tape", None) is not None:
+            return self._tape
+        from ..witness.tape import WitnessTape, record
+
+        if os.path.exists(self.tape_path):
+            try:
+                self._tape = WitnessTape.load(self.tape_path)
+                return self._tape
+            except Exception:
+                pass  # corrupt artifact: re-record (same policy as pk)
+        _, tape = record(
+            lambda tr: build_dcap_trace(load_demo_input(), self.lookup_bits, tracer=tr)
+        )
+        os.makedirs(self.params_dir, exist_ok=True)
+        tape.save(self.tape_path)
+        self._tape = tape
+        return tape
 
     def keygen(self, force: bool = False) -> ProvingKey:
         os.makedirs(self.params_dir, exist_ok=True)
@@ -139,12 +165,34 @@ class DcapProver:
         return pk
 
     def create_proof(self, inp: DcapInput, timing: bool = True) -> bytes:
+        import sys
+
+        import jax.numpy as jnp
+
+        from ..circuits.dcap import trace_inputs
+
         pk = self.keygen()
-        trace = build_dcap_trace(inp, self.lookup_bits)
-        advice_cols = self._builder.witness_columns(self._compiled, trace)
-        advice_dev = [mont.encode_ints(BN254_FR, col) for col in advice_cols]
+        # compiled witness generation (SURVEY.md §2.3 row 3): native tape
+        # replay; python re-trace only as fallback
+        raw = None
+        try:
+            from ..witness.native import eval_tape_raw
+
+            raw = eval_tape_raw(self._get_tape(), trace_inputs(inp))
+        except Exception as e:
+            print(f"[runtime] tape replay unavailable ({e}); python trace", file=sys.stderr)
+        if raw is None:
+            from ..witness.tape import cells_u16
+
+            trace = build_dcap_trace(inp, self.lookup_bits)
+            raw = cells_u16(trace.cells)
+        limbs = self._builder.witness_limbs(self._compiled, self._structure_ctx, raw)
+        adv = mont.to_mont(BN254_FR, jnp.asarray(limbs.astype(np.uint32)))
+        advice_dev = [adv[i] for i in range(adv.shape[0])]
         tw = TranscriptWriter(pk.vk.transcript_kind)
-        return create_proof(self.params(), pk, advice_dev, [], tw, timing=timing)
+        proof = create_proof(self.params(), pk, advice_dev, [], tw, timing=timing)
+        metrics.dump(os.path.join(self.params_dir, "metrics.jsonl"))
+        return proof
 
     def load_vk(self) -> VerifyingKey:
         """Light verifier path: vk from vk.json + pinning without the pk

@@ -20,8 +20,9 @@ import os
 import jax
 import numpy as np
 
+from .. import metrics
 from ..chips import CircuitBuilder, Pinning
-from ..circuits.p256_ecdsa import ECDSAInput, build_ecdsa_trace
+from ..circuits.p256_ecdsa import ECDSAInput, build_ecdsa_trace, trace_inputs
 from ..commit import ParamsKZG, gen_srs
 from ..curves.host_curve import SECP256R1
 from ..fields import BN254_FR, mont
@@ -66,6 +67,8 @@ class ECDSAProver:
         self._params: ParamsKZG | None = None
         self._compiled = None
         self._builder = None
+        self._structure_ctx = None
+        self._tape = None
 
     # --- artifacts --------------------------------------------------------
 
@@ -81,11 +84,36 @@ class ECDSAProver:
     def vk_path(self):
         return os.path.join(self.params_dir, f"vk_k{self.k}.json")
 
+    @property
+    def tape_path(self):
+        return os.path.join(self.params_dir, f"tape_k{self.k}.npz")
+
     def _compile(self, pinning: Pinning | None = None):
         trace = build_ecdsa_trace(SAMPLE_INPUT, self.lookup_bits)
         builder = CircuitBuilder(self.k, lookup_bits=self.lookup_bits)
         compiled = builder.compile(trace, pinning)
+        self._structure_ctx = trace  # structural index lists for witness fill
         return builder, compiled, trace
+
+    def _get_tape(self):
+        """Witness tape (compiled witness generation): load or record+cache."""
+        if self._tape is not None:
+            return self._tape
+        from ..witness.tape import WitnessTape, record
+
+        if os.path.exists(self.tape_path):
+            try:
+                self._tape = WitnessTape.load(self.tape_path)
+                return self._tape
+            except Exception:
+                pass  # corrupt artifact: re-record (same policy as pk)
+        _, tape = record(
+            lambda tr: build_ecdsa_trace(SAMPLE_INPUT, self.lookup_bits, tracer=tr)
+        )
+        os.makedirs(self.params_dir, exist_ok=True)
+        tape.save(self.tape_path)
+        self._tape = tape
+        return tape
 
     def params(self) -> ParamsKZG:
         if self._params is None:
@@ -201,6 +229,7 @@ class ECDSAProver:
         import time
 
         def _p(name, t0):
+            metrics.record(f"runtime.{name}", time.time() - t0, k=self.k)
             if timing:
                 print(f"[runtime] {name}: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
             return time.time()
@@ -208,18 +237,42 @@ class ECDSAProver:
         t = time.time()
         pk = self.keygen()
         t = _p("keygen(cached)", t)
-        trace = build_ecdsa_trace(inp, self.lookup_bits)
-        t = _p("witness trace", t)
-        advice_cols = self._builder.witness_columns(self._compiled, trace)
+        # compiled witness generation: replay the recorded tape natively
+        # (SURVEY.md §2.3 row 3); python re-trace only as fallback
+        raw = None
+        try:
+            from ..witness.native import eval_tape_raw
+
+            raw = eval_tape_raw(self._get_tape(), trace_inputs(inp))
+        except Exception as e:
+            print(f"[runtime] tape replay unavailable ({e}); python trace", file=sys.stderr)
+        if raw is None:
+            from ..witness.tape import cells_u16
+
+            trace = build_ecdsa_trace(inp, self.lookup_bits)
+            raw = cells_u16(trace.cells)
+        t = _p("witness replay", t)
+        sctx = self._structure_ctx
+        limbs = self._builder.witness_limbs(self._compiled, sctx, raw)
+        inst = [
+            int.from_bytes(raw[c].tobytes(), "little") for c in sctx.instance_cells
+        ]
+        instances = [inst]
         t = _p("witness fill", t)
-        instances = self._builder.instance_values(trace)
-        assert instances and len(instances[0]) == 15, "expected 15 public instances"
+        assert len(instances[0]) == 15, "expected 15 public instances"
         assert instances[0] == inp.as_instances()
-        advice_dev = [mont.encode_ints(BN254_FR, col) for col in advice_cols]
+        import jax.numpy as jnp
+
+        adv = mont.to_mont(BN254_FR, jnp.asarray(limbs.astype(np.uint32)))
+        advice_dev = [adv[i] for i in range(adv.shape[0])]
         t = _p("device encode", t)
         kind = "keccak" if evm else self.transcript_kind
         tw = TranscriptWriter(kind)
-        return create_proof(self.params(), pk, advice_dev, instances, tw, timing=timing)
+        proof = create_proof(self.params(), pk, advice_dev, instances, tw, timing=timing)
+        # structured metrics artifact (SURVEY.md §5.5): one JSON-lines file
+        # per params dir, appended per proof
+        metrics.dump(os.path.join(self.params_dir, "metrics.jsonl"))
+        return proof
 
     def verifier_params(self) -> ParamsKZG:
         """Verification needs only the host G2 points (derived from the
