@@ -14,6 +14,7 @@ import dataclasses
 import numpy as np
 
 from ..fields import BN254_FR, mont
+from ..fields.params import NUM_LIMBS
 from .cs import ConstraintSystem
 from .expression import Evaluator
 
@@ -67,21 +68,37 @@ class MockProver:
                     return failures
 
         for lk in self.cs.lookups:
-            inputs = [
-                mont.decode_ints(BN254_FR, ev.eval(e)) for e in lk.inputs
-            ]
-            tables = [
-                mont.decode_ints(BN254_FR, ev.eval(e)) for e in lk.tables
-            ]
-            table_set = set(zip(*[t[:u] for t in tables])) if tables[0] else set()
-            for row in range(u):
-                tup = tuple(col[row] for col in inputs)
-                if tup not in table_set:
-                    failures.append(
-                        Failure("lookup", f"{lk.name}: row {row} input {tup} not in table")
+            # Vectorized multiset membership: canonical standard-form limbs
+            # (mont_mul ends with a conditional subtract, so equal field
+            # elements have identical limb bytes), rows viewed as opaque
+            # byte records, np.isin in C — no per-row Python loop.
+            inp_std = np.concatenate(
+                [np.asarray(mont.from_mont(BN254_FR, ev.eval(e))) for e in lk.inputs],
+                axis=-1,
+            )[:u]
+            tab_std = np.concatenate(
+                [np.asarray(mont.from_mont(BN254_FR, ev.eval(e))) for e in lk.tables],
+                axis=-1,
+            )[:u]
+            rec = np.dtype((np.void, inp_std.dtype.itemsize * inp_std.shape[1]))
+            inp_v = np.ascontiguousarray(inp_std).view(rec).ravel()
+            tab_v = np.ascontiguousarray(tab_std).view(rec).ravel()
+            bad = np.nonzero(~np.isin(inp_v, tab_v))[0]
+            for row in bad[:max_failures]:
+                tup = tuple(
+                    int.from_bytes(
+                        inp_std[row, a * NUM_LIMBS : (a + 1) * NUM_LIMBS]
+                        .astype(np.uint16)
+                        .tobytes(),
+                        "little",
                     )
-                    if len(failures) >= max_failures:
-                        return failures
+                    for a in range(len(lk.inputs))
+                )
+                failures.append(
+                    Failure("lookup", f"{lk.name}: row {row} input {tup} not in table")
+                )
+            if len(failures) >= max_failures:
+                return failures
 
         cols = {"fixed": self.fixed, "advice": self.advice, "instance": self.instance}
         for (ca, ra), (cb, rb) in self.cs.copies:
