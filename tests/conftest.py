@@ -14,7 +14,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's collective rendezvous TERMINATES the process (SIGABRT) when a
+# participant is late past its default timeout. With 8 virtual devices
+# timesliced onto few physical cores, any concurrent machine load can stall
+# one participant long enough to trip it — observed as flaky full-suite
+# aborts inside mesh/shard_map tests. Raise both timeouts far beyond any
+# plausible scheduler stall.
+if "xla_cpu_collective_timeout" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 # Persistent compilation cache: this box shows 10-50x variance in XLA
 # compile times (noisy neighbour); caching compiles across processes keeps

@@ -79,11 +79,16 @@ def test_mesh_prover_on_multihost_mesh(tmp_path):
 def test_distributed_initialize_entry_point():
     """jax.distributed.initialize smoke test (subprocess: it may only run
     once per process and must not pollute the suite's runtime)."""
+    import socket
+
+    with socket.socket() as s:  # a free port: fixed ports collide across
+        s.bind(("127.0.0.1", 0))  # concurrently running suites
+        port = s.getsockname()[1]
     code = r"""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-os.environ["ZKDCAP_COORDINATOR"] = "localhost:12655"
+os.environ["ZKDCAP_COORDINATOR"] = "localhost:%d"
 os.environ["ZKDCAP_NUM_PROCESSES"] = "1"
 os.environ["ZKDCAP_PROCESS_ID"] = "0"
 import sys
@@ -99,7 +104,7 @@ mesh = multihost_mesh()
 assert mesh.axis_names == ("host", "chip")
 assert mesh.shape["host"] == jax.process_count()
 print("distributed-init OK")
-""" % os.path.join(os.path.dirname(__file__), "..")
+""" % (port, os.path.join(os.path.dirname(__file__), ".."))
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=300)
+                         text=True, timeout=600)
     assert "distributed-init OK" in out.stdout, out.stderr[-2000:]

@@ -48,20 +48,7 @@ def sharded_msm(
 
     scalars_std = mont.from_mont(BN254_FR, scalars_mont)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-        check_vma=False,
-    )
-    def local_msm(pts, scal):
-        X, Y, Z = msm_device(spec, pts, scal, lanes)
-        return jnp.stack([X, Y, Z])[None]  # (1, 3, L) per shard
-
-    partials = local_msm(points, scalars_std)  # (n_dev, 3, L)
-
-    # log-depth EC fold over the partials (replicated small data)
+    # log-depth EC fold over the gathered partials (replicated small data)
     def fold(parts):
         m = parts.shape[0]
         while m > 1:
@@ -76,5 +63,23 @@ def sharded_msm(
             m = parts.shape[0]
         return parts[0]
 
-    out = fold(partials)
+    # The all_gather + fold run INSIDE the shard_map: one compiled program,
+    # with the cross-shard combine expressed as a proper XLA collective.
+    # (Folding the sharded partials with eager jnp ops instead compiles
+    # ad-hoc multi-device programs whose CPU-backend rendezvous is fragile
+    # under load — observed as flaky SIGABRTs in the full suite.)
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def local_msm(pts, scal):
+        X, Y, Z = msm_device(spec, pts, scal, lanes)
+        part = jnp.stack([X, Y, Z])[None]  # (1, 3, L) per shard
+        parts = jax.lax.all_gather(part, axis, axis=0, tiled=True)  # (n_dev, 3, L)
+        return fold(parts)  # replicated (3, L)
+
+    out = local_msm(points, scalars_std)
     return (out[0], out[1], out[2])
