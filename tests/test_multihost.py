@@ -94,6 +94,9 @@ os.environ["ZKDCAP_PROCESS_ID"] = "0"
 import sys
 sys.path.insert(0, %r)
 import jax
+# env var alone is not enough under the preinstalled axon plugin (and a
+# down TPU tunnel blocks backend init retries indefinitely): force cpu.
+jax.config.update("jax_platforms", "cpu")
 from zkdcap_tpu.parallel.mesh import init_distributed, multihost_mesh
 assert init_distributed() is True
 assert jax.process_count() == 1

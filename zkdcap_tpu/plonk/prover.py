@@ -111,6 +111,8 @@ def create_proof(
     blinding_seed: bytes | None = None,
     timing: bool = False,
     mesh=None,
+    checkpoint_dir: str | None = None,
+    _abort_after: str | None = None,
 ) -> bytes:
     """The 9-round pipeline. `timing=True` prints per-phase wall-clock to
     stderr (ark-std start_timer!/end_timer! analog, SURVEY.md §5.1).
@@ -119,6 +121,13 @@ def create_proof(
     the reference's OsRng (`sgx_dcap_verifier.rs:811`) — advice commitments
     are hiding. Pass an explicit seed ONLY in golden/reproducibility tests
     (SURVEY.md §7.4-5 "pinned-RNG parity mode"; ADVICE round-1 fix).
+
+    checkpoint_dir: per-transcript-round checkpointing (SURVEY.md §5.3):
+    after each commit round the transcript op log + round arrays persist to
+    <dir>/ck_<kind>_rN.npz; a re-invoked create_proof with the same inputs
+    resumes after the last completed round and emits a byte-identical
+    proof. Checkpoints are removed on success. `_abort_after` is a
+    test-only hook simulating preemption after a named round (r1..r6).
 
     mesh: a jax.sharding.Mesh with axis "shard" — the multi-chip prover
     path (TPU replacement for rayon inside halo2's create_proof,
@@ -164,6 +173,26 @@ def create_proof(
 
     adv_q, fix_q, ins_q = collect_queries(cs)
 
+    # per-transcript-round checkpointing (SURVEY.md §5.3): resumable proofs
+    # for preemptible runs; no-op when checkpoint_dir is None
+    ck = None
+    ck_fp = ""
+    if checkpoint_dir is not None:
+        from .checkpoint import ProofCheckpoint
+
+        ck_fp = hashlib.blake2b(
+            repr((pk.vk.k, transcript.kind, pk.vk.transcript_repr(),
+                  [list(c) for c in instances])).encode(),
+            digest_size=16,
+        ).hexdigest()
+        ck = ProofCheckpoint(checkpoint_dir, tag=transcript.kind)
+
+    def _abort(round_name):
+        if _abort_after == round_name:
+            from .checkpoint import Preempted as _P
+
+            raise _P(f"aborted after {round_name} (test hook)")
+
     # --- round 0: bind vk + public inputs --------------------------------
     transcript.common_scalar(pk.vk.transcript_repr())
     instances = [list(col) for col in instances]
@@ -178,71 +207,94 @@ def create_proof(
 
     # --- round 1: advice commitments -------------------------------------
     assert len(advice_values) == cs.num_advice
-    advice_lagrange = [
-        _shard(_blind(a, n, u, blinding_seed, b"adv%d" % i))
-        for i, a in enumerate(advice_values)
-    ]
-    advice_coeff = intt_many(BN254_FR, advice_lagrange)
-    for pt in params.commit_many(advice_coeff, mesh=mesh):
-        transcript.write_point(pt)
+    if ck and ck.has("r1"):
+        st = ck.load("r1", transcript, ck_fp)
+        blinding_seed = st["seed"]  # later rounds' blinding must match
+        advice_lagrange = [_shard(a) for a in st["advice_lagrange"]]
+        advice_coeff = st["advice_coeff"]
+    else:
+        advice_lagrange = [
+            _shard(_blind(a, n, u, blinding_seed, b"adv%d" % i))
+            for i, a in enumerate(advice_values)
+        ]
+        advice_coeff = intt_many(BN254_FR, advice_lagrange)
+        for pt in params.commit_many(advice_coeff, mesh=mesh):
+            transcript.write_point(pt)
+        if ck:
+            ck.save("r1", transcript, ck_fp, seed=blinding_seed,
+                    advice_lagrange=advice_lagrange, advice_coeff=advice_coeff)
+    _abort("r1")
 
     _phase("advice commit")
     theta = transcript.squeeze_challenge()
 
     # --- round 2: lookup permuted columns --------------------------------
-    ev_row = Evaluator(
-        pk.fixed_lagrange, advice_lagrange, instance_lagrange, challenges={"theta": theta}
-    )
-    lookup_data = []
-    for li, lk in enumerate(cs.lookups):
-        theta_pow = 1
-        a_comp = None
-        s_comp = None
-        for e_in, e_tb in zip(lk.inputs, lk.tables):
-            ai = ev_row.eval(e_in)
-            si = ev_row.eval(e_tb)
-            tp = mont.encode_ints(BN254_FR, [theta_pow])
-            tp_b = jnp.broadcast_to(tp, ai.shape)
-            a_term = mont.mont_mul(BN254_FR, ai, tp_b)
-            s_term = mont.mont_mul(BN254_FR, si, tp_b)
-            a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
-            s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
-            theta_pow = theta_pow * theta % R
-        a_host = mont.decode_ints(BN254_FR, a_comp)
-        s_host = mont.decode_ints(BN254_FR, s_comp)
-        a_perm_host, s_perm_host = _permute_lookup_pair(a_host[:u], s_host[:u])
-        a_perm = mont.encode_ints(BN254_FR, a_perm_host + [0] * (n - u))
-        s_perm = mont.encode_ints(BN254_FR, s_perm_host + [0] * (n - u))
-        a_perm = _blind(a_perm, n, u - 1, blinding_seed, b"lkA%d" % li)
-        s_perm = _blind(s_perm, n, u - 1, blinding_seed, b"lkS%d" % li)
-        lookup_data.append(
-            {"a": a_comp, "s": s_comp, "a_perm": a_perm, "s_perm": s_perm}
+    if ck and ck.has("r2"):
+        st = ck.load("r2", transcript, ck_fp)
+        lookup_data = st["lookup_data"]
+    else:
+        ev_row = Evaluator(
+            pk.fixed_lagrange, advice_lagrange, instance_lagrange, challenges={"theta": theta}
         )
-    if lookup_data:
-        perm_lagr = []
-        for ld in lookup_data:
-            perm_lagr.extend([ld["a_perm"], ld["s_perm"]])
-        perm_coeffs = intt_many(BN254_FR, perm_lagr)
-        for li, ld in enumerate(lookup_data):
-            ld["a_perm_coeff"] = perm_coeffs[2 * li]
-            ld["s_perm_coeff"] = perm_coeffs[2 * li + 1]
-        for pt in params.commit_many(perm_coeffs, mesh=mesh):
-            transcript.write_point(pt)
+        lookup_data = []
+        for li, lk in enumerate(cs.lookups):
+            theta_pow = 1
+            a_comp = None
+            s_comp = None
+            for e_in, e_tb in zip(lk.inputs, lk.tables):
+                ai = ev_row.eval(e_in)
+                si = ev_row.eval(e_tb)
+                tp = mont.encode_ints(BN254_FR, [theta_pow])
+                tp_b = jnp.broadcast_to(tp, ai.shape)
+                a_term = mont.mont_mul(BN254_FR, ai, tp_b)
+                s_term = mont.mont_mul(BN254_FR, si, tp_b)
+                a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
+                s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
+                theta_pow = theta_pow * theta % R
+            a_host = mont.decode_ints(BN254_FR, a_comp)
+            s_host = mont.decode_ints(BN254_FR, s_comp)
+            a_perm_host, s_perm_host = _permute_lookup_pair(a_host[:u], s_host[:u])
+            a_perm = mont.encode_ints(BN254_FR, a_perm_host + [0] * (n - u))
+            s_perm = mont.encode_ints(BN254_FR, s_perm_host + [0] * (n - u))
+            a_perm = _blind(a_perm, n, u - 1, blinding_seed, b"lkA%d" % li)
+            s_perm = _blind(s_perm, n, u - 1, blinding_seed, b"lkS%d" % li)
+            lookup_data.append(
+                {"a": a_comp, "s": s_comp, "a_perm": a_perm, "s_perm": s_perm}
+            )
+        if lookup_data:
+            perm_lagr = []
+            for ld in lookup_data:
+                perm_lagr.extend([ld["a_perm"], ld["s_perm"]])
+            perm_coeffs = intt_many(BN254_FR, perm_lagr)
+            for li, ld in enumerate(lookup_data):
+                ld["a_perm_coeff"] = perm_coeffs[2 * li]
+                ld["s_perm_coeff"] = perm_coeffs[2 * li + 1]
+            for pt in params.commit_many(perm_coeffs, mesh=mesh):
+                transcript.write_point(pt)
+        if ck:
+            ck.save("r2", transcript, ck_fp, lookup_data=lookup_data)
+        del ev_row  # frees cached row-domain evaluations (HBM pressure)
+    _abort("r2")
 
     _phase("lookup permute+commit")
-    del ev_row  # frees cached row-domain evaluations (HBM pressure)
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
     # --- round 3: permutation grand products -----------------------------
     m = len(cs.permutation_columns)
+    gamma_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [gamma]), (n, NUM_LIMBS))
+    if ck and ck.has("r3"):
+        st = ck.load("r3", transcript, ck_fp)
+        perm_z_coeff = st["perm_z_coeff"]
+        _skip_r3 = True
+    else:
+        _skip_r3 = False
     chunk = cs.permutation_chunk_len
     omega_pows = power_table_for(BN254_FR, omega, n)
     col_arrays = {"fixed": pk.fixed_lagrange, "advice": advice_lagrange, "instance": instance_lagrange}
     perm_zs = []
-    gamma_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [gamma]), (n, NUM_LIMBS))
     last_z_end = None
-    for c0 in range(0, m, chunk):
+    for c0 in [] if _skip_r3 else range(0, m, chunk):
         cols = cs.permutation_columns[c0 : c0 + chunk]
         num = None
         den = None
@@ -274,14 +326,27 @@ def create_proof(
         last_z_end = z[u]
         z = _blind(z, n, u, blinding_seed, b"permz%d" % (c0 // chunk))
         perm_zs.append(z)
-    perm_z_coeff = intt_many(BN254_FR, perm_zs)
-    for pt in params.commit_many(perm_z_coeff, mesh=mesh):
-        transcript.write_point(pt)
+    if not _skip_r3:
+        perm_z_coeff = intt_many(BN254_FR, perm_zs)
+        for pt in params.commit_many(perm_z_coeff, mesh=mesh):
+            transcript.write_point(pt)
+        if ck:
+            ck.save("r3", transcript, ck_fp, perm_z_coeff=perm_z_coeff)
+    _abort("r3")
 
     _phase("permutation z")
     # --- round 4: lookup grand products ----------------------------------
+    if ck and ck.has("r4"):
+        st = ck.load("r4", transcript, ck_fp)
+        for ld, zc in zip(lookup_data, st["z_coeffs"]):
+            ld["z_coeff"] = zc
+            for key in ("a", "s", "a_perm", "s_perm"):
+                ld.pop(key, None)
+        _skip_r4 = True
+    else:
+        _skip_r4 = False
     beta_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [beta]), (n, NUM_LIMBS))
-    for li, ld in enumerate(lookup_data):
+    for li, ld in [] if _skip_r4 else list(enumerate(lookup_data)):
         num = mont.mont_mul(
             BN254_FR,
             mont.add(BN254_FR, ld["a"], beta_b),
@@ -299,7 +364,7 @@ def create_proof(
         z = _prefix_product_exclusive(ratios)
         z = _blind(z, n, u, blinding_seed, b"lkz%d" % li)
         ld["z"] = z
-    if lookup_data:
+    if lookup_data and not _skip_r4:
         z_coeffs = intt_many(BN254_FR, [ld["z"] for ld in lookup_data])
         for ld, zc in zip(lookup_data, z_coeffs):
             ld["z_coeff"] = zc
@@ -307,23 +372,42 @@ def create_proof(
             del ld["a"], ld["s"], ld["a_perm"], ld["s_perm"], ld["z"]
         for pt in params.commit_many(z_coeffs, mesh=mesh):
             transcript.write_point(pt)
+        if ck:
+            ck.save("r4", transcript, ck_fp, z_coeffs=z_coeffs)
+    elif not _skip_r4 and ck:
+        ck.save("r4", transcript, ck_fp, z_coeffs=[])
+    _abort("r4")
 
     _phase("lookup z")
     # --- round 5: vanishing random poly ----------------------------------
     random_poly = mont.encode_ints(
         BN254_FR, _seeded_rand_ints(blinding_seed + b"rand", n)
     )
-    transcript.write_point(params.commit(random_poly, mesh=mesh))
+    if ck and ck.has("r5"):
+        ck.load("r5", transcript, ck_fp)  # poly is seed-determined: only
+        # the transcript state (the commitment) needs restoring
+    else:
+        transcript.write_point(params.commit(random_poly, mesh=mesh))
+        if ck:
+            ck.save("r5", transcript, ck_fp)
+    _abort("r5")
 
     y = transcript.squeeze_challenge()
 
     # --- round 6: quotient ------------------------------------------------
-    h_pieces, all_constraints_ext = _compute_quotient(
-        pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y,
-        shard=_shard,
-    )
-    for pt in params.commit_many(h_pieces, mesh=mesh):
-        transcript.write_point(pt)
+    if ck and ck.has("r6"):
+        st = ck.load("r6", transcript, ck_fp)
+        h_pieces = st["h_pieces"]
+    else:
+        h_pieces, all_constraints_ext = _compute_quotient(
+            pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y,
+            shard=_shard,
+        )
+        for pt in params.commit_many(h_pieces, mesh=mesh):
+            transcript.write_point(pt)
+        if ck:
+            ck.save("r6", transcript, ck_fp, h_pieces=h_pieces)
+    _abort("r6")
 
     _phase("quotient")
     x = transcript.squeeze_challenge()
@@ -415,6 +499,8 @@ def create_proof(
     # --- round 8: multiopen ----------------------------------------------
     shplonk_open(params, transcript, queries, mesh=mesh)
     _phase("multiopen")
+    if ck:
+        ck.clear()  # consumed: a finished proof leaves no resume state
     return transcript.finalize()
 
 

@@ -135,14 +135,40 @@ class TranscriptWriter:
         self.core = _CORES[kind]()
         self.kind = kind
         self.proof = bytearray()
+        # replayable op log: per-transcript-round proof checkpointing
+        # (SURVEY.md §5.3) rebuilds the hash-core state by replaying this
+        # (hashlib cores are not serializable)
+        self.log: list[tuple[str, object]] = []
 
     def common_point(self, pt):
+        self.log.append(("cp", pt))
         self.core.absorb_point(pt)
 
     def common_scalar(self, s: int):
+        self.log.append(("cs", s))
         self.core.absorb_scalar(s)
 
+    def restore(self, log) -> None:
+        """Reset and replay a recorded op log (proof-checkpoint resume)."""
+        self.core = _CORES[self.kind]()
+        self.proof = bytearray()
+        self.log = []
+        for op, v in log:
+            if op == "cp":
+                self.common_point(v)
+            elif op == "cs":
+                self.common_scalar(v)
+            elif op == "wp":
+                self.write_point(v)
+            elif op == "ws":
+                self.write_scalar(v)
+            elif op == "sq":
+                self.squeeze_challenge()
+            else:  # pragma: no cover
+                raise ValueError(f"unknown transcript op {op!r}")
+
     def write_point(self, pt):
+        self.log.append(("wp", pt))
         self.core.absorb_point(pt)
         if self.kind == "keccak":
             # EVM proofs carry uncompressed points (2x32B BE) so the
@@ -155,6 +181,7 @@ class TranscriptWriter:
         self.proof += serialize_point(pt)
 
     def write_scalar(self, s: int):
+        self.log.append(("ws", s))
         self.core.absorb_scalar(s)
         # EVM (keccak) proofs use big-endian words — the layout the
         # generated Solidity verifier's calldataload reads directly
@@ -163,6 +190,7 @@ class TranscriptWriter:
         self.proof += (s % R).to_bytes(32, endian)
 
     def squeeze_challenge(self) -> int:
+        self.log.append(("sq", None))
         return self.core.squeeze()
 
     def finalize(self) -> bytes:
