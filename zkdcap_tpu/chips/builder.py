@@ -303,7 +303,11 @@ class CircuitBuilder:
         of the compiled path).
 
         `ctx` supplies only the structural index lists (lookup_cells,
-        spread_pairs, pair_lookups) — its cell values are not read.
+        spread_pairs, pair_lookups) — its cell values are not read. The
+        list->ndarray conversions of those structural indices are cached on
+        `compiled` (they are pinning-determined, not witness-dependent):
+        converting the DCAP circuit's millions of python tuples measured
+        ~1.5 s/proof, 4x the scatter itself.
         """
         import numpy as np
 
@@ -311,20 +315,36 @@ class CircuitBuilder:
         pin = compiled.pinning
         u = compiled.cs.usable_rows(n)
         assert cells_u16.shape == (pin.num_cells, 16)
+        cache = getattr(compiled, "_fill_cache", None)
+        if cache is None:
+            cache = {"pos": np.asarray(compiled.advice_of_cell, np.int64)}
+            if ctx.lookup_cells:
+                cache["lc"] = np.asarray(ctx.lookup_cells, np.int64)
+                cache["lpos"] = np.asarray(compiled.lookup_of_cell, np.int64)
+            if ctx.spread_pairs:
+                cache["sp"] = np.asarray(ctx.spread_pairs, np.int64)
+            cache["pl"] = {
+                name: np.asarray(ctx.pair_lookups[name], np.int64)
+                for name in sorted(ctx.pair_tables)
+                if ctx.pair_lookups[name]
+            }
+            try:
+                compiled._fill_cache = cache
+            except Exception:
+                pass  # frozen dataclass etc.: recompute per call
         n_pair_cols = 2 * sum(v[0] for v in (pin.pair_table_meta or {}).values())
         ncols = (
             pin.num_advice + pin.num_lookup_advice + 2 * pin.num_spread_advice + n_pair_cols
         )
         out = np.zeros((ncols, n, 16), np.uint16)
-        pos = np.asarray(compiled.advice_of_cell, np.int64)  # (num_cells, 2)
+        pos = cache["pos"]  # (num_cells, 2)
         out[pos[:, 0], pos[:, 1]] = cells_u16
-        if ctx.lookup_cells:
-            lc = np.asarray(ctx.lookup_cells, np.int64)
-            lpos = np.asarray(compiled.lookup_of_cell, np.int64)
+        if "lc" in cache:
+            lc, lpos = cache["lc"], cache["lpos"]
             out[pin.num_advice + lpos[:, 0], lpos[:, 1]] = cells_u16[lc]
         base = pin.num_advice + pin.num_lookup_advice
-        if ctx.spread_pairs:
-            sp = np.asarray(ctx.spread_pairs, np.int64)  # (m, 2) cell ids
+        if "sp" in cache:
+            sp = cache["sp"]  # (m, 2) cell ids
             slots = np.arange(len(sp))
             pci, prow = slots // u, slots % u
             out[base + 2 * pci, prow] = cells_u16[sp[:, 0]]
@@ -332,9 +352,8 @@ class CircuitBuilder:
         base += 2 * pin.num_spread_advice
         for name in sorted(ctx.pair_tables):
             meta = (pin.pair_table_meta or {}).get(name, [0, 0])
-            pl = ctx.pair_lookups[name]
-            if pl:
-                pp = np.asarray(pl, np.int64)
+            pp = cache["pl"].get(name)
+            if pp is not None:
                 slots = np.arange(len(pp))
                 pci, prow = slots // u, slots % u
                 out[base + 2 * pci, prow] = cells_u16[pp[:, 0]]
