@@ -67,7 +67,8 @@ def cmd_prove(args):
     inp = _input_from_args(args)
     assert inp.verify_native(), "input signature does not verify natively"
     prover = _get_prover(args)
-    proof = prover.create_proof(inp, evm=args.evm)
+    proof = prover.create_proof(inp, evm=args.evm, shards=args.shards,
+                                checkpoint=args.checkpoint)
     out = "0x" + proof.hex()
     if args.output:
         with open(args.output, "w") as f:
@@ -117,7 +118,8 @@ def cmd_dcap_prove(args):
     assert inp.verify_native()
     prover = DcapProver(params_dir=args.params_dir,
                         k=args.k if args.k is not None else 17)
-    proof = prover.create_proof(inp)
+    proof = prover.create_proof(inp, shards=args.shards,
+                                checkpoint=args.checkpoint)
     out = "0x" + proof.hex()
     if args.output:
         with open(args.output, "w") as f:
@@ -160,6 +162,12 @@ def main(argv=None):
     ap.add_argument("--params-dir", default="params")
     ap.add_argument("--k", type=int, default=None,
                     help="circuit degree (overrides --config)")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="shard the prover across the first N local devices "
+                         "(multi-chip path; proof bytes identical)")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="persist per-round proof state under params-dir; "
+                         "an interrupted prove resumes on re-run")
     ap.add_argument("--config", default=None,
                     help="JSON circuit config (default: $ZKDCAP_CONFIG, "
                          "reference ECDSA_CONFIG analog)")

@@ -164,7 +164,9 @@ class DcapProver:
         self._pk, self._builder, self._compiled = pk, builder, compiled
         return pk
 
-    def create_proof(self, inp: DcapInput, timing: bool = True) -> bytes:
+    def create_proof(self, inp: DcapInput, timing: bool = True,
+                     shards: int | None = None,
+                     checkpoint: bool = False) -> bytes:
         import sys
 
         import jax.numpy as jnp
@@ -190,7 +192,14 @@ class DcapProver:
         adv = mont.to_mont(BN254_FR, jnp.asarray(limbs.astype(np.uint32)))
         advice_dev = [adv[i] for i in range(adv.shape[0])]
         tw = TranscriptWriter(pk.vk.transcript_kind)
-        proof = create_proof(self.params(), pk, advice_dev, [], tw, timing=timing)
+        mesh = None
+        if shards is not None and shards > 1:
+            from ..parallel import proving_mesh
+
+            mesh = proving_mesh(shards)
+        proof = create_proof(self.params(), pk, advice_dev, [], tw, timing=timing,
+                             mesh=mesh,
+                             checkpoint_dir=self.params_dir if checkpoint else None)
         metrics.dump(os.path.join(self.params_dir, "metrics.jsonl"))
         return proof
 

@@ -224,7 +224,13 @@ class ECDSAProver:
 
     # --- proving ----------------------------------------------------------
 
-    def create_proof(self, inp: ECDSAInput, evm: bool = False, timing: bool = True) -> bytes:
+    def create_proof(self, inp: ECDSAInput, evm: bool = False, timing: bool = True,
+                     shards: int | None = None,
+                     checkpoint: bool = False) -> bytes:
+        """shards: run the proof pipeline sharded across the first N local
+        devices (parallel/ mesh path; proof bytes identical to 1-chip).
+        checkpoint: persist per-round state under params_dir for resumable
+        proving (SURVEY.md §5.3); a re-run resumes automatically."""
         import sys
         import time
 
@@ -268,7 +274,14 @@ class ECDSAProver:
         t = _p("device encode", t)
         kind = "keccak" if evm else self.transcript_kind
         tw = TranscriptWriter(kind)
-        proof = create_proof(self.params(), pk, advice_dev, instances, tw, timing=timing)
+        mesh = None
+        if shards is not None and shards > 1:
+            from ..parallel import proving_mesh
+
+            mesh = proving_mesh(shards)
+        proof = create_proof(self.params(), pk, advice_dev, instances, tw,
+                             timing=timing, mesh=mesh,
+                             checkpoint_dir=self.params_dir if checkpoint else None)
         # structured metrics artifact (SURVEY.md §5.5): one JSON-lines file
         # per params dir, appended per proof
         metrics.dump(os.path.join(self.params_dir, "metrics.jsonl"))
