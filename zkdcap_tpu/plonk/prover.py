@@ -112,6 +112,7 @@ def create_proof(
     timing: bool = False,
     mesh=None,
     checkpoint_dir: str | None = None,
+    multiopen: str = "shplonk",
     _abort_after: str | None = None,
 ) -> bytes:
     """The 9-round pipeline. `timing=True` prints per-phase wall-clock to
@@ -497,7 +498,12 @@ def create_proof(
 
     _phase("evals")
     # --- round 8: multiopen ----------------------------------------------
-    shplonk_open(params, transcript, queries, mesh=mesh)
+    if multiopen == "gwc":
+        from ..commit.gwc import gwc_open
+
+        gwc_open(params, transcript, queries, mesh=mesh)
+    else:
+        shplonk_open(params, transcript, queries, mesh=mesh)
     _phase("multiopen")
     if ck:
         ck.clear()  # consumed: a finished proof leaves no resume state

@@ -78,10 +78,32 @@ def verify_proof(
     instances: list[list[int]],
     proof: bytes,
     transcript_kind: str | None = None,
+    multiopen: str = "shplonk",
 ) -> bool:
     """transcript_kind overrides vk.transcript_kind for this call (EVM keccak
     vs native path) without mutating the shared vk object (VERDICT round-1
-    weak #8)."""
+    weak #8). multiopen selects the final KZG argument — "shplonk" (BDFG20,
+    the reference's pick) or "gwc" (GWC19) — and must match the prover's
+    choice (halo2's compile-time Prover/VerifierGWC type parameter).
+
+    A malformed proof (non-canonical scalar, off-curve or truncated point)
+    is an INVALID proof, not an error — matching halo2's Result::Err =
+    reject semantics."""
+    try:
+        return _verify_proof(params, vk, instances, proof, transcript_kind,
+                             multiopen)
+    except (ValueError, IndexError):
+        return False
+
+
+def _verify_proof(
+    params: ParamsKZG,
+    vk: VerifyingKey,
+    instances: list[list[int]],
+    proof: bytes,
+    transcript_kind: str | None,
+    multiopen: str,
+) -> bool:
     cs = vk.cs
     k = vk.k
     n = 1 << k
@@ -255,4 +277,8 @@ def verify_proof(
         vqs.append(VerifierQuery(f"lkA{li}", a_c, point_at(-1), apx_prev))
         vqs.append(VerifierQuery(f"lkS{li}", s_c, x, spx))
 
+    if multiopen == "gwc":
+        from ..commit.gwc import gwc_verify
+
+        return gwc_verify(params, tr, vqs)
     return shplonk_verify(params, tr, vqs)
