@@ -30,6 +30,42 @@ class Failure:
         return f"[{self.kind}] {self.detail}"
 
 
+def _poly_queries(poly):
+    """(kind, column, rotation) cells a gate poly reads, in walk order
+    (halo2 FailureLocation analog — names the cells behind a failure)."""
+    from .expression import (
+        Advice,
+        Fixed,
+        Instance,
+        Negated,
+        Product,
+        Scaled,
+        Sum,
+    )
+
+    out: list[tuple[str, int, int]] = []
+
+    def walk(e):
+        if isinstance(e, Advice):
+            item = ("advice", e.index, e.rotation)
+        elif isinstance(e, Fixed):
+            item = ("fixed", e.index, e.rotation)
+        elif isinstance(e, Instance):
+            item = ("instance", e.index, e.rotation)
+        elif isinstance(e, (Negated, Scaled)):
+            return walk(e.inner)
+        elif isinstance(e, (Sum, Product)):
+            walk(e.a)
+            return walk(e.b)
+        else:
+            return
+        if item not in out:
+            out.append(item)
+
+    walk(poly)
+    return out
+
+
 class MockProver:
     def __init__(
         self,
@@ -56,13 +92,25 @@ class MockProver:
         i_dev = [mont.encode_ints(BN254_FR, c) for c in self.instance]
         ev = Evaluator(f_dev, a_dev, i_dev)
 
+        cols = {"fixed": self.fixed, "advice": self.advice, "instance": self.instance}
         for g in self.cs.gates:
             for pi, poly in enumerate(g.polys):
                 vals = np.asarray(mont.from_mont(BN254_FR, ev.eval(poly)))
                 bad = np.nonzero(vals.any(axis=-1))[0]
                 for row in bad[:max_failures]:
+                    # halo2-style localisation: name every cell the gate
+                    # poly reads at the failing row, with its value
+                    cells = ", ".join(
+                        f"{kind}[{ci}]@{(int(row) + rot) % self.n}"
+                        f"={hex(cols[kind][ci][(int(row) + rot) % self.n])}"
+                        for kind, ci, rot in _poly_queries(poly)
+                    )
                     failures.append(
-                        Failure("gate", f"{g.name}[{pi}] not satisfied at row {row}")
+                        Failure(
+                            "gate",
+                            f"{g.name}[{pi}] not satisfied at row {row}"
+                            + (f" ({cells})" if cells else ""),
+                        )
                     )
                 if len(failures) >= max_failures:
                     return failures
