@@ -77,29 +77,38 @@ def _prefix_product_exclusive(ratios: jax.Array) -> jax.Array:
     return jnp.concatenate([one, inc[:-1]], axis=0)
 
 
-def _permute_lookup_pair(a_vals: list[int], s_vals: list[int]):
-    """halo2 permute_expression_pair: sort inputs; align first occurrences
-    of each value with the table column; fill the rest with unused table
-    entries. Returns (a_permuted, s_permuted) or raises if lookup fails."""
-    from collections import Counter
+def _permute_lookup_pair_rows(a_std: np.ndarray, s_std: np.ndarray):
+    """Vectorized halo2 permute_expression_pair on canonical limb rows.
 
-    a_sorted = sorted(a_vals)
-    tcount = Counter(s_vals)
-    s_out: list[int | None] = [None] * len(a_sorted)
-    for i, v in enumerate(a_sorted):
-        if i == 0 or a_sorted[i] != a_sorted[i - 1]:
-            if tcount[v] == 0:
-                raise ValueError(f"lookup failure: input {v} not in table")
-            tcount[v] -= 1
-            s_out[i] = v
-    leftovers = []
-    for v, c in tcount.items():
-        leftovers.extend([v] * c)
-    it = iter(leftovers)
-    for i in range(len(s_out)):
-        if s_out[i] is None:
-            s_out[i] = next(it)
-    return a_sorted, s_out
+    Returns (a_order, s_positions) — row indices into the original arrays:
+    a permuted into a grouping-contiguous order (byte-lexicographic on the
+    canonical limbs; ANY order with equal values adjacent satisfies the
+    lookup constraint system) with the first occurrence of each distinct
+    input value aligned against one table copy. Replaces the per-proof
+    python-int multiset sort (decode_ints + list sort measured seconds per
+    lookup argument at k>=17)."""
+    u = a_std.shape[0]
+    rec = np.dtype((np.void, a_std.dtype.itemsize * a_std.shape[1]))
+    av = np.ascontiguousarray(a_std).view(rec).ravel()
+    sv = np.ascontiguousarray(s_std).view(rec).ravel()
+    uniq, inv = np.unique(np.concatenate([av, sv]), return_inverse=True)
+    a_ids, s_ids = inv[:u], inv[u:]
+    order = np.argsort(a_ids, kind="stable")
+    a_sorted = a_ids[order]
+    first = np.ones(u, bool)
+    first[1:] = a_sorted[1:] != a_sorted[:-1]
+    first_ids = a_sorted[first]
+    s_counts = np.bincount(s_ids, minlength=len(uniq))
+    if (s_counts[first_ids] == 0).any():
+        raise ValueError("lookup failure: input value not in table")
+    s_order = np.argsort(s_ids, kind="stable")
+    group_start = np.searchsorted(s_ids[s_order], first_ids)
+    sel = np.ones(u, bool)
+    sel[group_start] = False
+    s_pos = np.empty(u, np.int64)
+    s_pos[first] = s_order[group_start]
+    s_pos[~first] = s_order[sel]
+    return order, s_pos
 
 
 def create_proof(
@@ -252,11 +261,14 @@ def create_proof(
                 a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
                 s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
                 theta_pow = theta_pow * theta % R
-            a_host = mont.decode_ints(BN254_FR, a_comp)
-            s_host = mont.decode_ints(BN254_FR, s_comp)
-            a_perm_host, s_perm_host = _permute_lookup_pair(a_host[:u], s_host[:u])
-            a_perm = mont.encode_ints(BN254_FR, a_perm_host + [0] * (n - u))
-            s_perm = mont.encode_ints(BN254_FR, s_perm_host + [0] * (n - u))
+            a_std = np.asarray(mont.from_mont(BN254_FR, a_comp))[:u]
+            s_std = np.asarray(mont.from_mont(BN254_FR, s_comp))[:u]
+            aorder, s_pos = _permute_lookup_pair_rows(a_std, s_std)
+            a_np = np.asarray(jax.device_get(a_comp))[:u]
+            s_np = np.asarray(jax.device_get(s_comp))[:u]
+            padz = np.zeros((n - u, NUM_LIMBS), np.uint32)
+            a_perm = jnp.asarray(np.concatenate([a_np[aorder], padz]))
+            s_perm = jnp.asarray(np.concatenate([s_np[s_pos], padz]))
             a_perm = _blind(a_perm, n, u - 1, blinding_seed, b"lkA%d" % li)
             s_perm = _blind(s_perm, n, u - 1, blinding_seed, b"lkS%d" % li)
             lookup_data.append(
