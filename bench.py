@@ -86,17 +86,23 @@ def bench_msm(log_n: int, iters: int = 3) -> float:
     base = np.asarray(encode_points(G1_SPEC, base_pts))
     pts = jnp.asarray(np.tile(base, (n // base.shape[0], 1, 1)))
 
-    lanes = min(16384, n)
+    def run():
+        out = msm_device(G1_SPEC, pts, scal_std, min(16384, n))
+        # axon's block_until_ready does not force: pull a scalar to host
+        return np.asarray(jax.device_get(out[0]))
+
     t0 = time.time()
-    out = msm_device(G1_SPEC, pts, scal_std, lanes)
-    jax.block_until_ready(out)
-    log(f"msm 2^{log_n}: compile+first run {time.time()-t0:.2f}s")
+    run()
+    first = time.time() - t0
+    log(f"msm 2^{log_n}: compile+first run {first:.2f}s")
+    # give the watchdog a real partial value as soon as one exists
+    _RESULT["value"] = n / first
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = msm_device(G1_SPEC, pts, scal_std, lanes)
-        jax.block_until_ready(out)
+        run()
         times.append(time.time() - t0)
+        _RESULT["value"] = n / min(times)
     best = min(times)
     log(f"msm 2^{log_n}: best {best*1e3:.1f} ms -> {n/best:,.0f} points/s")
     return n / best
@@ -110,17 +116,19 @@ def bench_ntt(log_n: int, iters: int = 3) -> float:
     from zkdcap_tpu.fields.params import NUM_LIMBS
     from zkdcap_tpu.ntt import ntt
 
+    import numpy as np
+
     n = 1 << log_n
     a = jnp.asarray(_np_scalars(n, NUM_LIMBS))
     t0 = time.time()
     out = ntt(BN254_FR, a)
-    jax.block_until_ready(out)
+    np.asarray(jax.device_get(out[0]))  # axon: block_until_ready does not force
     log(f"ntt 2^{log_n}: compile+first run {time.time()-t0:.2f}s")
     times = []
     for _ in range(iters):
         t0 = time.time()
         out = ntt(BN254_FR, out)
-        jax.block_until_ready(out)
+        np.asarray(jax.device_get(out[0]))
         times.append(time.time() - t0)
     best = min(times)
     log(f"ntt 2^{log_n}: best {best*1e3:.1f} ms")
