@@ -30,10 +30,18 @@ os.environ["XLA_FLAGS"] = _flags
 
 # Persistent compilation cache: this box shows 10-50x variance in XLA
 # compile times (noisy neighbour); caching compiles across processes keeps
-# the suite usable.
+# the suite usable. The CPU suite uses its OWN cache dir: XLA:CPU AOT
+# entries embed the compile machine's CPU features, the cache key does
+# not, and this VM migrates across heterogeneous hosts — loading an entry
+# compiled for a former host's features SEGFAULTS (observed:
+# "+prefer-no-scatter is not supported on the host machine" then SIGSEGV
+# in compilation_cache.get_executable_and_time). Keeping CPU entries
+# separate from the expensive TPU entries makes the remedy cheap:
+# delete .jax_cache_cpu/ whenever cpu_aot_loader prints feature-mismatch
+# errors.
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
