@@ -139,13 +139,15 @@ def create_proof(
     proof. Checkpoints are removed on success. `_abort_after` is a
     test-only hook simulating preemption after a named round (r1..r6).
 
-    mesh: a jax.sharding.Mesh with axis "shard" — the multi-chip prover
-    path (TPU replacement for rayon inside halo2's create_proof,
-    `sgx_dcap_verifier.rs:813-822`, SURVEY.md §2.3): row-shards the
-    Lagrange/extended column arrays over the mesh (elementwise gate/
-    permutation/lookup work becomes embarrassingly row-parallel; XLA
-    inserts the roll/scan collectives) and shards every commitment MSM's
-    points across chips. Proof bytes are identical to single-chip."""
+    mesh: a jax.sharding.Mesh — the multi-chip prover path (TPU
+    replacement for rayon inside halo2's create_proof,
+    `sgx_dcap_verifier.rs:813-822`, SURVEY.md §2.3): every commitment
+    MSM's points shard across the mesh inside compiled shard_map programs
+    (the prover's dominant cost: one MSM per committed column per round).
+    Proof bytes are identical to single-chip. Row-sharding the quotient's
+    extended arrays through one pjit'ed program is roadmap work — eager
+    multi-device dispatch proved unreliable on XLA:CPU (see the mesh-scope
+    note below)."""
     import os as _os
     import sys
     import time as _time
@@ -163,17 +165,15 @@ def create_proof(
             print(f"[prover] {name}: {now - _t[0]:.2f}s", file=sys.stderr, flush=True)
         _t[0] = now
 
-    def _shard(arr):
-        """Row-shard a (rows, L) array over the mesh (no-op single-chip).
-        Works for 1D ("shard",) and multi-host ("host", "chip") meshes —
-        rows shard over the flattened mesh axes."""
-        if mesh is None:
-            return arr
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        names = mesh.axis_names
-        row_axes = names[0] if len(names) == 1 else tuple(names)
-        return jax.device_put(arr, NamedSharding(mesh, P(row_axes, None)))
+    # NOTE on mesh scope: the multi-chip path shards every commitment MSM's
+    # points across the mesh INSIDE jax.shard_map (parallel/sharded_msm) —
+    # compiled programs whose collectives XLA schedules. The row-domain /
+    # extended arrays deliberately stay unsharded: eagerly dispatching jnp
+    # ops on sharded arrays compiles an ad-hoc multi-device program per op,
+    # and on XLA:CPU the collective-bearing ones (roll/scan/pad) deadlock
+    # or abort nondeterministically (observed at the round-3 grand-product
+    # scan and the partials fold). Row-sharding the quotient via one
+    # pjit'ed program (traced challenges) is ROADMAP work.
 
     cs = pk.cs
     n = 1 << pk.k
@@ -211,7 +211,7 @@ def create_proof(
         for v in col:
             transcript.common_scalar(v)
     instance_lagrange = [
-        _shard(mont.encode_ints(BN254_FR, list(col) + [0] * (n - len(col))))
+        mont.encode_ints(BN254_FR, list(col) + [0] * (n - len(col)))
         for col in instances
     ]
 
@@ -220,11 +220,11 @@ def create_proof(
     if ck and ck.has("r1"):
         st = ck.load("r1", transcript, ck_fp)
         blinding_seed = st["seed"]  # later rounds' blinding must match
-        advice_lagrange = [_shard(a) for a in st["advice_lagrange"]]
+        advice_lagrange = st["advice_lagrange"]
         advice_coeff = st["advice_coeff"]
     else:
         advice_lagrange = [
-            _shard(_blind(a, n, u, blinding_seed, b"adv%d" % i))
+            _blind(a, n, u, blinding_seed, b"adv%d" % i)
             for i, a in enumerate(advice_values)
         ]
         advice_coeff = intt_many(BN254_FR, advice_lagrange)
@@ -414,7 +414,6 @@ def create_proof(
     else:
         h_pieces, all_constraints_ext = _compute_quotient(
             pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y,
-            shard=_shard,
         )
         for pt in params.commit_many(h_pieces, mesh=mesh):
             transcript.write_point(pt)
@@ -532,12 +531,9 @@ def _compute_quotient(
     beta: int,
     gamma: int,
     y: int,
-    shard=lambda x: x,
 ):
     """Evaluate sum_i y^i * constraint_i on the extended coset, divide by Z_H,
-    return quotient pieces (coefficient form, n each). `shard` row-shards
-    the extended arrays over a mesh (identity single-chip) — the quotient
-    round is the row-parallel SP analog of SURVEY.md §5.7."""
+    return quotient pieces (coefficient form, n each)."""
     cs = pk.cs
     domain = pk.domain
     n = domain.n
@@ -545,9 +541,9 @@ def _compute_quotient(
     ratio = ext_n // n
     u = cs.usable_rows(n)
 
-    advice_ext = [shard(domain.coeff_to_extended(a)) for a in advice_coeff]
+    advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
     instance_ext = [
-        shard(domain.coeff_to_extended(intt(BN254_FR, i))) for i in instance_lagrange
+        domain.coeff_to_extended(intt(BN254_FR, i)) for i in instance_lagrange
     ]
     ev = Evaluator(
         pk.fixed_extended,
