@@ -45,38 +45,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 
 # jaxlib 0.9.0 XLA:CPU cannot round-trip MULTI-DEVICE executables through
-# the persistent cache: backend.deserialize_executable on an 8-virtual-
-# device program segfaults (observed deterministically at the first
-# mesh-program cache HIT of a suite run; single-device entries are fine).
-# Bypass the persistent cache for multi-device programs only — they are a
-# handful of small compiles, while the single-device entries carry the
-# suite's real compile weight.
-try:
-    from jax._src import compiler as _jax_compiler
+# the persistent cache (deserialize segfaults); single-device entries stay
+# cached. Shared helper so the driver's dryrun gets the same guard.
+from zkdcap_tpu.parallel.mesh import bypass_multidevice_compile_cache
 
-    _orig_cache_read = _jax_compiler._cache_read
-    _orig_cache_write = _jax_compiler._cache_write
-
-    def _cache_read(module_name, cache_key, compile_options, backend,
-                    executable_devices):
-        if len(executable_devices) > 1:
-            return None, None
-        return _orig_cache_read(module_name, cache_key, compile_options,
-                                backend, executable_devices)
-
-    def _cache_write(cache_key, compile_time_secs, module_name, backend,
-                     executable, host_callbacks):
-        try:
-            if len(executable.local_devices()) > 1:
-                return  # never persist what _cache_read must refuse
-        except Exception:
-            pass
-        return _orig_cache_write(cache_key, compile_time_secs, module_name,
-                                 backend, executable, host_callbacks)
-
-    _jax_compiler._cache_read = _cache_read
-    _jax_compiler._cache_write = _cache_write
-except (ImportError, AttributeError):  # jax internals moved: fail open
-    pass
+bypass_multidevice_compile_cache()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

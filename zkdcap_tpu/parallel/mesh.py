@@ -25,6 +25,46 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def bypass_multidevice_compile_cache() -> None:
+    """Disable the persistent compilation cache for MULTI-device programs.
+
+    jaxlib 0.9.0's XLA:CPU cannot round-trip multi-device executables
+    through the persistent cache — backend.deserialize_executable
+    segfaults on an n-virtual-device program (observed deterministically
+    at the first mesh-program cache hit of a test-suite run). Single-device
+    entries, which carry the real compile weight, stay cached. Idempotent;
+    fails open if jax internals move."""
+    try:
+        from jax._src import compiler as _jc
+
+        if getattr(_jc, "_zkdcap_md_bypass", False):
+            return
+        _orig_read, _orig_write = _jc._cache_read, _jc._cache_write
+
+        def _cache_read(module_name, cache_key, compile_options, backend,
+                        executable_devices):
+            if len(executable_devices) > 1:
+                return None, None
+            return _orig_read(module_name, cache_key, compile_options,
+                              backend, executable_devices)
+
+        def _cache_write(cache_key, compile_time_secs, module_name, backend,
+                         executable, host_callbacks):
+            try:
+                if len(executable.local_devices()) > 1:
+                    return
+            except Exception:
+                pass
+            return _orig_write(cache_key, compile_time_secs, module_name,
+                               backend, executable, host_callbacks)
+
+        _jc._cache_read = _cache_read
+        _jc._cache_write = _cache_write
+        _jc._zkdcap_md_bypass = True
+    except (ImportError, AttributeError):
+        pass
+
+
 def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
