@@ -5,16 +5,24 @@ TPU-native replacement for halo2's rayon Pippenger (SURVEY.md §2.3 row 1:
 op of the prover: every polynomial commitment is one MSM
 (`create_proof` steps 2-5/8, SURVEY.md §3.1).
 
-Algorithm (per 8-bit window, 32 windows for 256-bit scalars):
-  1. sort point indices by bucket digit (XLA bitonic sort — no scatter),
-  2. lane-chunked segmented reduction: the sorted stream is split into G
+Algorithm (signed c-bit windows, ceil(256/c) windows for 256-bit scalars):
+  1. signed digit recoding: window digits in [-2^(c-1), 2^(c-1)-1], so only
+     2^(c-1) buckets per window (point negation is one field negate),
+  2. per window: ONE two-operand sort of (|digit|, sign<<30|index) — the
+     sorted digit array and the gather order come out of a single bitonic
+     pass (no separate argsort + digit-take),
+  3. ONE packed row gather: X‖Y live in a (N, 2L) row so each sorted point
+     costs one 128-byte gather row instead of two 64-byte ones (the gather
+     is latency-bound, so rows gathered — not bytes — set the cost),
+  4. lane-chunked segmented reduction: the sorted stream is split into G
      lanes of M points; each lane runs a sequential segmented scan (M
-     steps of one G-wide complete EC add) — O(N) EC-add work, M deep,
-  3. per-run partial sums (<= 255 digit runs + G lane tails) are compacted
-     with top_k and combined by a log-depth segmented Hillis–Steele scan,
-  4. bucket totals land in a dense 256-entry table via unique-index scatter,
-  5. classic suffix-sum bucket aggregation (S += B_d; T += S), vectorised
-     across all 32 windows, then a Horner window join (8 doublings/window).
+     steps of one wide complete EC add, fused in a Pallas kernel),
+  5. per-run partial sums (<= G + 2^(c-1) run ends) are compacted by a
+     cumsum/scatter of their indices + a K-row gather, then combined by a
+     log-depth segmented Hillis-Steele scan,
+  6. bucket totals land in a dense 2^(c-1)-entry table via unique-index
+     scatter; classic suffix-sum aggregation (S += B_d; T += S) vectorised
+     across all windows, then a Horner window join (c doublings/window).
 
 Digit-0 points and encoded infinities are mapped to the projective identity
 (0:1:0), which the complete formulas absorb — no control flow anywhere.
@@ -34,29 +42,60 @@ import jax.numpy as jnp
 from ..curves.device_g1 import (
     CurveSpec,
     G1_SPEC,
-    affine_to_projective,
     decode_points,
     ec_add,
     ec_double,
-    ec_inf,
-    ec_select,
 )
 from ..fields import BN254_FR, mont
 from ..fields.params import NUM_LIMBS
 
-WINDOW_BITS = 8
-NUM_WINDOWS = 32  # 256-bit scalars
-NUM_BUCKETS = 1 << WINDOW_BITS
+WINDOW_BITS = 13
+NUM_WINDOWS = -(-256 // WINDOW_BITS)  # 20 windows of 13 bits
+NUM_BUCKETS = 1 << (WINDOW_BITS - 1)  # signed digits: |d| in [0, 2^(c-1)]
 L = NUM_LIMBS
+_IDX_BITS = 30  # sign packs above the index in the sort payload
 
 
-def _digits(scalars_std: jax.Array) -> jax.Array:
-    """uint32[N, 16] standard-form limbs -> int32[32, N] 8-bit window digits."""
-    outs = []
-    for w in range(NUM_WINDOWS):
-        limb = scalars_std[:, w // 2]
-        outs.append(((limb >> (8 * (w % 2))) & jnp.uint32(0xFF)).astype(jnp.int32))
-    return jnp.stack(outs)
+def _signed_digits(scalars_std: jax.Array, c: int = WINDOW_BITS) -> jax.Array:
+    """uint32[N, 16] standard-form limbs -> int32[W, N] signed window digits.
+
+    Signed recoding: raw c-bit windows plus a carry chain mapping each digit
+    into [-2^(c-1), 2^(c-1)-1]. Scalars are < r < 2^254, so the top window
+    never produces a carry out (digit <= 2^(254 - c*(W-1)) + 1 << 2^(c-1)).
+    """
+    n_windows = -(-256 // c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    mask = jnp.uint32(full - 1)
+    raws = []
+    for w in range(n_windows):
+        bit = c * w
+        li, r = bit // 16, bit % 16
+        v = scalars_std[:, li] >> r
+        if r + c > 16 and li + 1 < 16:
+            v = v | (scalars_std[:, li + 1] << (16 - r))
+        raws.append((v & mask).astype(jnp.int32))
+    digits = []
+    carry = jnp.zeros_like(raws[0])
+    for w in range(n_windows):
+        d = raws[w] + carry
+        over = d >= half
+        digits.append(jnp.where(over, d - full, d))
+        carry = over.astype(jnp.int32)
+    return jnp.stack(digits)
+
+
+def _window_parallel(n_windows: int, lanes: int) -> int:
+    """Largest divisor of n_windows keeping the merged scan width bounded.
+
+    The segmented scan materialises (M, L, WP*lanes) in/out arrays; capping
+    WP*lanes at 128k lanes bounds that at ~4 GB for 2^20 points so batched
+    (vmapped) commitments stay inside HBM."""
+    budget = 131072
+    for wp in range(min(10, n_windows), 0, -1):
+        if n_windows % wp == 0 and wp * lanes <= budget:
+            return wp
+    return 1
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -69,24 +108,29 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
     G = lanes
     M = N // G
     assert G * M == N
-    K = min(N, G + NUM_BUCKETS)  # upper bound on per-window run partials
+    K = min(N, G + NUM_BUCKETS)  # upper bound on per-window run-end count
 
-    digits = _digits(scalars_std)  # (32, N)
-    Px, Py = points[:, 0], points[:, 1]
-    pt_is_inf = jnp.logical_and(mont.is_zero(Px), mont.is_zero(Py))  # (N,)
+    digits = _signed_digits(scalars_std)  # (W, N) signed
+    rows = points.reshape(N, 2 * L)  # X ‖ Y packed per point
 
     idxN = jnp.arange(N, dtype=jnp.int32)
     idxK = jnp.arange(K, dtype=jnp.int32)
-    window_par = 8
-    WP = window_par
+    WP = _window_parallel(NUM_WINDOWS, G)
     from ..curves.ec_kernels import ec_add_select
 
     def sort_part(d_w):
-        order = jnp.argsort(d_w)
-        d = jnp.take(d_w, order)
-        X = jnp.take(Px, order, axis=0)
-        Y = jnp.take(Py, order, axis=0)
-        valid = jnp.logical_and(d != 0, jnp.logical_not(jnp.take(pt_is_inf, order)))
+        # -- stages 2+3: one two-operand sort, one packed gather -----------
+        key = jnp.abs(d_w).astype(jnp.uint32)
+        payload = jnp.where(d_w < 0, idxN | (1 << _IDX_BITS), idxN)
+        skey, sp = jax.lax.sort((key, payload), num_keys=1)
+        order = sp & ((1 << _IDX_BITS) - 1)
+        neg_mask = sp >> _IDX_BITS
+        g = jnp.take(rows, order, axis=0)  # (N, 2L): ONE gather per point
+        X, Y = g[:, :L], g[:, L:]
+        pt_inf = jnp.all(g == 0, axis=-1)
+        Y = jnp.where((neg_mask == 1)[:, None], mont.neg(f, Y), Y)
+        d = skey.astype(jnp.int32)
+        valid = jnp.logical_and(d != 0, jnp.logical_not(pt_inf))
         one = mont.one_mont(f, (N,))
         Xp = jnp.where(valid[:, None], X, 0)
         Yp = jnp.where(valid[:, None], Y, one)
@@ -94,30 +138,34 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         return Xp, Yp, Zp, d
 
     def compact_part(sX, sY, sZ, d):
-        # -- stage 3a: compact run partials via top_k ----------------------
+        # -- stage 5a: compact run-end partials via cumsum + index scatter -
         is_lane_end = (idxN % M) == (M - 1)
         d_next = jnp.concatenate([d[1:], jnp.full((1,), -1, jnp.int32)])
         is_end = jnp.logical_or(is_lane_end, d != d_next)
-        key = jnp.where(is_end, idxN, -1)
-        top_keys, _ = jax.lax.top_k(key, K)  # descending position order
-        safe = jnp.maximum(top_keys, 0)
-        vd = jnp.take(d, safe)
-        vX = jnp.take(sX, safe, axis=0)
-        vY = jnp.take(sY, safe, axis=0)
-        vZ = jnp.take(sZ, safe, axis=0)
-        dead = jnp.logical_or(top_keys < 0, vd == 0)
-        vd = jnp.where(dead, 0, vd)
+        pos = jnp.cumsum(is_end.astype(jnp.int32)) - 1
+        n_ends = pos[-1] + 1
+        slot = jnp.where(is_end, pos, K)
+        cidx = jnp.zeros((K + 1,), jnp.int32).at[slot].set(idxN)[:K]
+        dead = idxK >= n_ends
+        vd = jnp.where(dead, 0, jnp.take(d, cidx))
+        vX = jnp.take(sX, cidx, axis=0)
+        vY = jnp.take(sY, cidx, axis=0)
+        vZ = jnp.take(sZ, cidx, axis=0)
+        vd = jnp.where(vd < 0, 0, vd)  # (guard; digits here are |d| >= 0)
         one_k = mont.one_mont(f, (K,))
-        vX = jnp.where(dead[:, None], 0, vX)
-        vY = jnp.where(dead[:, None], one_k, vY)
-        vZ = jnp.where(dead[:, None], 0, vZ)
+        deadc = jnp.logical_or(dead, vd == 0)
+        vX = jnp.where(deadc[:, None], 0, vX)
+        vY = jnp.where(deadc[:, None], one_k, vY)
+        vZ = jnp.where(deadc[:, None], 0, vZ)
+        vd = jnp.where(deadc, 0, vd)
         return vX, vY, vZ, vd
 
     def deposit_part(cX, cY, cZ, vd):
-        # -- stage 4: deposit group totals into dense buckets --------------
+        # -- stage 6a: deposit group totals into dense buckets -------------
+        # bucket b (1..NUM_BUCKETS) lives at slot b-1; invalids -> dump slot
         vd_next = jnp.concatenate([vd[1:], jnp.full((1,), -1, jnp.int32)])
         is_last = vd != vd_next
-        slot = jnp.where(jnp.logical_and(is_last, vd > 0), vd, NUM_BUCKETS)
+        slot = jnp.where(jnp.logical_and(is_last, vd > 0), vd - 1, NUM_BUCKETS)
         bX = jnp.zeros((NUM_BUCKETS + 1, L), jnp.uint32).at[slot].set(cX)[:NUM_BUCKETS]
         bY = jnp.concatenate(
             [jnp.broadcast_to(mont.one_mont(f, (NUM_BUCKETS,)), (NUM_BUCKETS, L)),
@@ -127,16 +175,15 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         return bX, bY, bZ
 
     def group_fn(d_grp):
-        # (WP, N) digits -> (WP, 256) buckets. The EC-heavy stages run on
-        # merged (WP*G) lanes through the fused pallas add kernel.
+        # (WP, N) digits -> (WP, NUM_BUCKETS) buckets. The EC-heavy stages
+        # run on merged (WP*G) lanes through the fused pallas add kernel.
         Xp, Yp, Zp, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x3, (WP, N)
 
-        # -- stage 2: per-lane segmented scan (kernelized EC adds) ---------
+        # -- stage 4: per-lane segmented scan (kernelized EC adds) ---------
         # (M, L, B) layout, B = WP*G merged lanes: each step j reads a
         # CONTIGUOUS (L, B) limb-major block and feeds the fused pallas add
-        # kernel directly — the row-major wrapper's 9 per-iteration 8 MB
-        # transposes (measured: they, not the sorts, dominated the round-1
-        # 2.87 s) are hoisted into ONE layout transpose per group.
+        # kernel directly — one layout transpose per group instead of nine
+        # 8 MB transposes per scan step.
         B = WP * G
         from ..curves.ec_kernels import BLOCK as EC_BLOCK, ec_add_select_lm
 
@@ -195,7 +242,7 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
 
         vX, vY, vZ, vd = jax.vmap(compact_part)(sX, sY, sZ, d)  # (WP, K, ...)
 
-        # -- stage 3b: segmented Hillis-Steele on merged lanes -------------
+        # -- stage 5b: segmented Hillis-Steele on merged lanes -------------
         # dead prefix blocks for the shifted reads: identity points, digit 0
         padX = jnp.zeros((WP, K, L), jnp.uint32)
         padY = jnp.broadcast_to(mont.one_mont(f, (WP, K)), (WP, K, L))
@@ -231,16 +278,16 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (vX, vY, vZ))
         return jax.vmap(deposit_part)(cX, cY, cZ, vd)
 
-    dgroups = digits.reshape(NUM_WINDOWS // window_par, window_par, N)
+    dgroups = digits.reshape(NUM_WINDOWS // WP, WP, N)
     bX, bY, bZ = jax.lax.map(group_fn, dgroups)
     bX = bX.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
     bY = bY.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
     bZ = bZ.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
 
-    # -- stage 5: log-depth aggregation: sum_d d*B_d = sum_{d>=1} S_d where
-    # S_d = suffix sums of buckets — a Hillis-Steele suffix scan (8 wide EC
-    # adds) followed by a tree reduction (8 more), instead of 2*255
-    # sequential tiny adds.
+    # -- stage 6b: log-depth aggregation: sum_b b*B_b = sum_{b>=1} S_b where
+    # S_b = suffix sums of buckets — a Hillis-Steele suffix scan followed by
+    # a tree reduction, instead of 2*NUM_BUCKETS sequential tiny adds.
+    # Slot i holds bucket i+1, so S over slots is exactly sum_{b>=1}.
     S = (bX, bY, bZ)
     idxB = jnp.arange(NUM_BUCKETS, dtype=jnp.int32)
 
@@ -252,24 +299,17 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         nX = jnp.roll(cX, -shift, axis=1)
         nY = jnp.roll(cY, -shift, axis=1)
         nZ = jnp.roll(cZ, -shift, axis=1)
-        valid = (idxB + shift) < NUM_BUCKETS  # (256,)
+        valid = (idxB + shift) < NUM_BUCKETS
         vb = jnp.broadcast_to(valid[None, :], cX.shape[:2])
         flatP = tuple(c.reshape(-1, L) for c in (cX, cY, cZ))
         flatQ = tuple(c.reshape(-1, L) for c in (nX, nY, nZ))
         new = _eas(spec, flatP, flatQ, vb.reshape(-1), fallback="p")
         return tuple(c.reshape(cX.shape) for c in new)
 
-    S = jax.lax.fori_loop(0, WINDOW_BITS, suffix_level, S)
-    # zero out bucket 0 (digit 0 contributes nothing): drop index 0, then
-    # tree-reduce S_1..S_255 (pad with identity to 256 lanes)
-    SX, SY, SZ = S
-    one_pad = mont.one_mont(f, (NUM_WINDOWS, 1))
-    SX = jnp.concatenate([SX[:, 1:], jnp.zeros((NUM_WINDOWS, 1, L), jnp.uint32)], axis=1)
-    SY = jnp.concatenate([SY[:, 1:], one_pad], axis=1)
-    SZ = jnp.concatenate([SZ[:, 1:], jnp.zeros((NUM_WINDOWS, 1, L), jnp.uint32)], axis=1)
+    S = jax.lax.fori_loop(0, WINDOW_BITS - 1, suffix_level, S)
 
-    # shapes halve per level -> unrolled python loop (8 instantiations)
-    T3 = (SX, SY, SZ)
+    # tree-reduce S_1..S_NB (shapes halve per level -> unrolled python loop)
+    T3 = S
     m_cur = NUM_BUCKETS
     while m_cur > 1:
         half = m_cur // 2
@@ -277,9 +317,9 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         b = tuple(t[:, half : 2 * half] for t in T3)
         T3 = ec_add(spec, a, b)
         m_cur = half
-    T = tuple(t[:, 0] for t in T3)  # (32, L) each
+    T = tuple(t[:, 0] for t in T3)  # (W, L) each
 
-    # -- window join: R = sum_w 2^(8w) T_w, Horner from the top window ----
+    # -- window join: R = sum_w 2^(c*w) T_w, Horner from the top window ----
     R0 = tuple(t[NUM_WINDOWS - 1] for t in T)
 
     def join(i, R):
