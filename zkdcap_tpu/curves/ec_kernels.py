@@ -145,6 +145,77 @@ def _mk_ec_add_kernel(spec: CurveSpec, fallback: str):
     return kernel
 
 
+def _mk_ec_madd_kernel(spec: CurveSpec):
+    """Mixed-addition scan step: acc (projective) + Q (affine, Z2=1).
+
+    Substituting Z2 = 1 into the RCB'15 complete a=0 addition keeps
+    completeness for EVERY acc (including the identity and acc = ±Q) while
+    dropping one multiply and four add/subs; Q's validity is handled by the
+    select, so the affine stream needs no (0:1:0) encoding — and no Z plane
+    at all (one fewer (M, L, B) stream in HBM).
+
+    select semantics per lane (v = valid, s = same-run):
+      v & s  -> acc ⊕ Q        v & !s -> (X2 : Y2 : 1)
+      !v & s -> acc            !v & !s -> (0 : 1 : 0)
+    """
+    params: FieldParams = spec.field
+    p_limbs = [int(v) for v in params.p_limbs]
+    n0inv = params.n0inv
+    from ..fields.params import R as RADIX
+
+    b3m = spec.b3 * RADIX % params.p
+    b3 = [(b3m >> (W * i)) & MASK for i in range(L)]
+    onem = RADIX % params.p
+    one_l = [(onem >> (W * i)) & MASK for i in range(L)]
+
+    def kernel(x1r, y1r, z1r, x2r, y2r, mr, ox, oy, oz):
+        mul, fadd, fsub = _field_ops(p_limbs, n0inv)
+        X1 = [x1r[i] for i in range(L)]
+        Y1 = [y1r[i] for i in range(L)]
+        Z1 = [z1r[i] for i in range(L)]
+        X2 = [x2r[i] for i in range(L)]
+        Y2 = [y2r[i] for i in range(L)]
+        b3v = [jnp.full_like(X1[0], c) for c in b3]
+        onev = [jnp.full_like(X1[0], c) for c in one_l]
+        zerov = [jnp.zeros_like(X1[0]) for _ in range(L)]
+
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t3 = fsub(mul(fadd(X1, Y1), fadd(X2, Y2)), fadd(t0, t1))
+        t4 = fadd(Y1, mul(Y2, Z1))  # Y1*Z2 + Y2*Z1 with Z2 = 1
+        t5 = fadd(X1, mul(X2, Z1))  # X1*Z2 + X2*Z1
+        t0 = fadd(fadd(t0, t0), t0)
+        t2 = mul(b3v, Z1)  # b3 * Z1*Z2
+        Z3 = fadd(t1, t2)
+        t1 = fsub(t1, t2)
+        Y3 = mul(b3v, t5)
+        X3 = fsub(mul(t3, t1), mul(t4, Y3))
+        Y3 = fadd(mul(t1, Z3), mul(Y3, t0))
+        Z3 = fadd(mul(Z3, t4), mul(t0, t3))
+
+        same = mr[0] > 0
+        valid = mr[1] > 0
+        for i in range(L):
+            # valid: same ? S : (X2:Y2:1); invalid: same ? acc : identity
+            ox[i] = jnp.where(
+                valid,
+                jnp.where(same, X3[i], X2[i]),
+                jnp.where(same, X1[i], zerov[i]),
+            )
+            oy[i] = jnp.where(
+                valid,
+                jnp.where(same, Y3[i], Y2[i]),
+                jnp.where(same, Y1[i], onev[i]),
+            )
+            oz[i] = jnp.where(
+                valid,
+                jnp.where(same, Z3[i], onev[i]),
+                jnp.where(same, Z1[i], zerov[i]),
+            )
+
+    return kernel
+
+
 LANE = 128
 MAX_SUB = 64  # rows per grid step: block (L, 64, 128) = 512 KiB x 10 refs
 
@@ -190,6 +261,190 @@ def ec_add_select_lm(spec: CurveSpec, P, Q, mask, fallback: str):
         return a.reshape(a.shape[0], rows, LANE)
 
     out = call(*(fold(c) for c in P), *(fold(c) for c in Q), fold(mask))
+    return tuple(c.reshape(L, m_cols) for c in out)
+
+
+def _mk_window_join_kernel(spec: CurveSpec, window_bits: int, num_windows: int,
+                           sub: int):
+    """Fused Pippenger window join: R = sum_w 2^(c*w) T_w in ONE kernel.
+
+    Input block (L, sub, 128) holds T_w at [:, w, 0] (identity elsewhere).
+    Phase 1: 13*(W-1) masked parallel doublings — sublane w doubles while
+    t < c*w, so U_w = 2^(c*w) T_w after the loop (each double is the RCB'15
+    complete a=0 doubling, branch-free). Phase 2: circular roll-tree over
+    the sub axis sums all sublanes (pad sublanes hold the identity).
+    Replaces ~c*W sequential single-lane jnp doublings whose per-op latency
+    dominated the aggregation tail (~250 ms -> ~20 ms at c=13, W=20).
+    """
+    params: FieldParams = spec.field
+    p_limbs = [int(v) for v in params.p_limbs]
+    n0inv = params.n0inv
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..fields.params import R as RADIX
+
+    b3m = spec.b3 * RADIX % params.p
+    b3 = [(b3m >> (W * i)) & MASK for i in range(L)]
+    total_dbl = window_bits * (num_windows - 1)
+
+    def kernel(xr, yr, zr, ox, oy, oz):
+        mul, fadd, fsub = _field_ops(p_limbs, n0inv)
+        b3v = [jnp.full((sub, LANE), c, jnp.uint32) for c in b3]
+        subi = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+
+        def dbl(P):
+            X, Y, Z = P
+            t0 = mul(Y, Y)
+            z3 = fadd(t0, t0)
+            z3 = fadd(z3, z3)
+            z3 = fadd(z3, z3)
+            t1 = mul(Y, Z)
+            t2 = mul(Z, Z)
+            t2 = mul(b3v, t2)
+            x3 = mul(t2, z3)
+            y3 = fadd(t0, t2)
+            z3 = mul(t1, z3)
+            t1 = fadd(t2, t2)
+            t2 = fadd(t1, t2)
+            t0 = fsub(t0, t2)
+            y3 = mul(t0, y3)
+            y3 = fadd(x3, y3)
+            t1 = mul(X, Y)
+            x3 = mul(t0, t1)
+            x3 = fadd(x3, x3)
+            return x3, y3, z3
+
+        def add(P, Q):
+            X1, Y1, Z1 = P
+            X2, Y2, Z2 = Q
+            t0 = mul(X1, X2)
+            t1 = mul(Y1, Y2)
+            t2 = mul(Z1, Z2)
+            t3 = fsub(mul(fadd(X1, Y1), fadd(X2, Y2)), fadd(t0, t1))
+            t4 = fsub(mul(fadd(Y1, Z1), fadd(Y2, Z2)), fadd(t1, t2))
+            t5 = fsub(mul(fadd(X1, Z1), fadd(X2, Z2)), fadd(t0, t2))
+            t0 = fadd(fadd(t0, t0), t0)
+            t2 = mul(b3v, t2)
+            Z3 = fadd(t1, t2)
+            t1 = fsub(t1, t2)
+            Y3 = mul(b3v, t5)
+            X3 = fsub(mul(t3, t1), mul(t4, Y3))
+            Y3 = fadd(mul(t1, Z3), mul(Y3, t0))
+            Z3 = fadd(mul(Z3, t4), mul(t0, t3))
+            return X3, Y3, Z3
+
+        P = (
+            [xr[i] for i in range(L)],
+            [yr[i] for i in range(L)],
+            [zr[i] for i in range(L)],
+        )
+
+        def flat(P):
+            return list(P[0]) + list(P[1]) + list(P[2])
+
+        def unflat(v):
+            return (v[:L], v[L : 2 * L], v[2 * L :])
+
+        def dbl_step(t, Pf):
+            P = unflat(Pf)
+            D = dbl(P)
+            keep = t < subi * window_bits
+            out = [jnp.where(keep, d, p) for d, p in zip(flat(D), Pf)]
+            return out
+
+        Pf = jax.lax.fori_loop(0, total_dbl, dbl_step, flat(P))
+        P = unflat(Pf)
+
+        s = 1
+        while s < sub:
+            # circular left-shift by s == roll right by (sub - s)
+            Q = tuple([pltpu.roll(c, sub - s, 0) for c in coord] for coord in P)
+            P = add(P, Q)
+            s *= 2
+
+        for i in range(L):
+            ox[i] = P[0][i]
+            oy[i] = P[1][i]
+            oz[i] = P[2][i]
+
+    return kernel
+
+
+@functools.cache
+def _window_join_call(spec: CurveSpec, window_bits: int, num_windows: int,
+                      sub: int, interpret: bool):
+    kernel = _mk_window_join_kernel(spec, window_bits, num_windows, sub)
+    spec_c = pl.BlockSpec((L, sub, LANE), lambda: (0, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, sub, LANE), jnp.uint32) for _ in range(3)
+        ),
+        in_specs=[spec_c] * 3,
+        out_specs=(spec_c, spec_c, spec_c),
+        interpret=interpret,
+    )
+
+
+def ec_window_join(spec: CurveSpec, T, window_bits: int):
+    """Join per-window sums T (3-tuple of (W, L)) into sum_w 2^(c*w) T_w.
+
+    Returns a single projective point as a 3-tuple of (L,) arrays."""
+    num_windows = T[0].shape[0]
+    sub = max(1 << (num_windows - 1).bit_length(), 8)
+    interpret = jax.default_backend() != "tpu"
+    from ..fields import mont
+
+    one = mont.one_mont(spec.field, ())
+
+    def place(arr, fill):
+        # (W, L) -> (L, sub, LANE) with T_w at [:, w, 0], fill elsewhere
+        blk = jnp.broadcast_to(fill[:, None, None], (L, sub, LANE))
+        return blk.at[:, :num_windows, 0].set(arr.T)
+
+    zero = jnp.zeros((L,), jnp.uint32)
+    X = place(T[0], zero)
+    Y = place(T[1], one)
+    Z = place(T[2], zero)
+    call = _window_join_call(spec, window_bits, num_windows, sub, interpret)
+    oX, oY, oZ = call(X, Y, Z)
+    return (oX[:, 0, 0], oY[:, 0, 0], oZ[:, 0, 0])
+
+
+@functools.cache
+def _ec_madd_call(spec: CurveSpec, m_cols: int, interpret: bool):
+    kernel = _mk_ec_madd_kernel(spec)
+    sub = _fold_sub(m_cols)
+    rows = m_cols // LANE
+    grid = (rows // sub,)
+    spec_c = pl.BlockSpec((L, sub, LANE), lambda i: (0, i, 0))
+    spec_m = pl.BlockSpec((2, sub, LANE), lambda i: (0, i, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, rows, LANE), jnp.uint32) for _ in range(3)
+        ),
+        grid=grid,
+        in_specs=[spec_c] * 5 + [spec_m],
+        out_specs=(spec_c, spec_c, spec_c),
+        interpret=interpret,
+    )
+
+
+def ec_madd_scan_lm(spec: CurveSpec, acc, Q, mask2):
+    """Fused mixed-add scan step, limb-major: acc 3-tuple of (L, M)
+    projective; Q 2-tuple of (L, M) affine Montgomery; mask2 (2, M) uint32
+    rows [same-run; valid]. M must be a multiple of 128. See
+    _mk_ec_madd_kernel for the per-lane select semantics."""
+    interpret = jax.default_backend() != "tpu"
+    m_cols = acc[0].shape[1]
+    rows = m_cols // LANE
+    call = _ec_madd_call(spec, m_cols, interpret)
+
+    def fold(a):
+        return a.reshape(a.shape[0], rows, LANE)
+
+    out = call(*(fold(c) for c in acc), *(fold(c) for c in Q), fold(mask2))
     return tuple(c.reshape(L, m_cols) for c in out)
 
 

@@ -131,27 +131,24 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         Y = jnp.where((neg_mask == 1)[:, None], mont.neg(f, Y), Y)
         d = skey.astype(jnp.int32)
         valid = jnp.logical_and(d != 0, jnp.logical_not(pt_inf))
-        one = mont.one_mont(f, (N,))
-        Xp = jnp.where(valid[:, None], X, 0)
-        Yp = jnp.where(valid[:, None], Y, one)
-        Zp = jnp.where(valid[:, None], one, 0)
-        return Xp, Yp, Zp, d
+        return X, Y, valid, d
 
     def compact_part(sX, sY, sZ, d):
-        # -- stage 5a: compact run-end partials via cumsum + index scatter -
+        # -- stage 5a: compact run-end partials. A single-bit stable sort
+        # (ends first, original order kept) yields the end positions — one
+        # bitonic pass on (N,) operands, cheaper than a cumsum + scatter.
         is_lane_end = (idxN % M) == (M - 1)
         d_next = jnp.concatenate([d[1:], jnp.full((1,), -1, jnp.int32)])
         is_end = jnp.logical_or(is_lane_end, d != d_next)
-        pos = jnp.cumsum(is_end.astype(jnp.int32)) - 1
-        n_ends = pos[-1] + 1
-        slot = jnp.where(is_end, pos, K)
-        cidx = jnp.zeros((K + 1,), jnp.int32).at[slot].set(idxN)[:K]
+        n_ends = jnp.sum(is_end.astype(jnp.int32))
+        notend = jnp.logical_not(is_end).astype(jnp.uint32)
+        _, cidx_full = jax.lax.sort((notend, idxN), num_keys=1)
+        cidx = cidx_full[:K]
         dead = idxK >= n_ends
         vd = jnp.where(dead, 0, jnp.take(d, cidx))
         vX = jnp.take(sX, cidx, axis=0)
         vY = jnp.take(sY, cidx, axis=0)
         vZ = jnp.take(sZ, cidx, axis=0)
-        vd = jnp.where(vd < 0, 0, vd)  # (guard; digits here are |d| >= 0)
         one_k = mont.one_mont(f, (K,))
         deadc = jnp.logical_or(dead, vd == 0)
         vX = jnp.where(deadc[:, None], 0, vX)
@@ -176,29 +173,35 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
 
     def group_fn(d_grp):
         # (WP, N) digits -> (WP, NUM_BUCKETS) buckets. The EC-heavy stages
-        # run on merged (WP*G) lanes through the fused pallas add kernel.
-        Xp, Yp, Zp, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x3, (WP, N)
+        # run on merged (WP*G) lanes through the fused pallas add kernels.
+        Xs, Ys, valid, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x2, (WP, N)
 
-        # -- stage 4: per-lane segmented scan (kernelized EC adds) ---------
+        # -- stage 4: per-lane segmented scan (kernelized mixed EC adds) ---
         # (M, L, B) layout, B = WP*G merged lanes: each step j reads a
-        # CONTIGUOUS (L, B) limb-major block and feeds the fused pallas add
-        # kernel directly — one layout transpose per group instead of nine
-        # 8 MB transposes per scan step.
+        # CONTIGUOUS (L, B) limb-major block and feeds the fused pallas
+        # MIXED-add kernel (the sorted stream is affine, Z2 = 1: one fewer
+        # multiply, no Z plane in HBM, validity folded into the select).
         B = WP * G
-        from ..curves.ec_kernels import BLOCK as EC_BLOCK, ec_add_select_lm
+        from ..curves.ec_kernels import (
+            BLOCK as EC_BLOCK,
+            ec_add_select_lm,
+            ec_madd_scan_lm,
+        )
 
         use_lm = B % EC_BLOCK == 0 and jax.default_backend() == "tpu"
 
         def to_mlb(A):  # (WP, N, L) -> (M, L, B)
             return A.reshape(WP, G, M, L).transpose(2, 3, 0, 1).reshape(M, L, B)
 
-        Xm, Ym, Zm = to_mlb(Xp), to_mlb(Yp), to_mlb(Zp)
+        Xm, Ym = to_mlb(Xs), to_mlb(Ys)
         dm = d.reshape(WP, G, M).transpose(2, 0, 1).reshape(M, B)
-        # same-digit-as-previous-in-lane mask, precomputed (row 0 = False)
+        validm = valid.reshape(WP, G, M).transpose(2, 0, 1).reshape(M, B)
+        # mask rows per step: [same-digit-as-previous-in-lane; valid]
         sames = jnp.concatenate(
             [jnp.zeros((1, B), jnp.uint32),
              (dm[1:] == dm[:-1]).astype(jnp.uint32)], axis=0
         )
+        masks = jnp.stack([sames, validm.astype(jnp.uint32)], axis=1)  # (M,2,B)
 
         out0 = jnp.zeros((M, L, B), jnp.uint32)
         one_b = mont.one_mont(f, (1,))[0]
@@ -208,19 +211,27 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
 
         def step(j, carry):
             (aX, aY, aZ), (oX, oY, oZ) = carry
-            Pj = tuple(
+            Qj = tuple(
                 jax.lax.dynamic_index_in_dim(arr, j, 0, keepdims=False)
-                for arr in (Xm, Ym, Zm)
+                for arr in (Xm, Ym)
             )
-            same = jax.lax.dynamic_index_in_dim(sames, j, 0, keepdims=False)[None, :]
+            m2 = jax.lax.dynamic_index_in_dim(masks, j, 0, keepdims=False)
             if use_lm:
-                new = ec_add_select_lm(spec, (aX, aY, aZ), Pj, same, fallback="q")
+                new = ec_madd_scan_lm(spec, (aX, aY, aZ), Qj, m2)
             else:
+                # jnp fallback: projective Q with validity pre-masked
+                ok = m2[1] > 0
+                one_row = jnp.broadcast_to(one_b[:, None], Qj[0].shape)
+                Qp = (
+                    jnp.where(ok[None, :], Qj[0], 0),
+                    jnp.where(ok[None, :], Qj[1], one_row),
+                    jnp.where(ok[None, :], one_row, 0),
+                )
                 rm = ec_add_select(
                     spec,
                     tuple(c.T for c in (aX, aY, aZ)),
-                    tuple(c.T for c in Pj),
-                    same[0],
+                    tuple(c.T for c in Qp),
+                    m2[0],
                     fallback="q",
                 )
                 new = tuple(c.T for c in rm)
@@ -242,14 +253,21 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
 
         vX, vY, vZ, vd = jax.vmap(compact_part)(sX, sY, sZ, d)  # (WP, K, ...)
 
-        # -- stage 5b: segmented Hillis-Steele on merged lanes -------------
-        # dead prefix blocks for the shifted reads: identity points, digit 0
-        padX = jnp.zeros((WP, K, L), jnp.uint32)
-        padY = jnp.broadcast_to(mont.one_mont(f, (WP, K)), (WP, K, L))
-        padZ = jnp.zeros((WP, K, L), jnp.uint32)
+        # -- stage 5b: segmented Hillis-Steele on merged lanes (limb-major:
+        # one layout transpose total instead of nine per level). Same-digit
+        # entries are CONTIGUOUS in the compact array and a digit has at
+        # most one partial per lane it spans, so ceil(log2(G)) levels close
+        # every group — not log2(K).
+        BK = WP * K
+        use_lm_hs = BK % EC_BLOCK == 0 and jax.default_backend() == "tpu"
+        cX = vX.transpose(2, 0, 1)  # (L, WP, K)
+        cY = vY.transpose(2, 0, 1)
+        cZ = vZ.transpose(2, 0, 1)
+        padc = jnp.zeros((L, WP, K), jnp.uint32)
+        pad1 = jnp.broadcast_to(one_b[:, None, None], (L, WP, K))
         padd = jnp.zeros((WP, K), jnp.int32)
         idxK2 = jnp.arange(K, dtype=jnp.int32)
-        n_levels = max((K - 1).bit_length(), 1)
+        n_levels = max(min((K - 1).bit_length(), (G - 1).bit_length()), 1)
 
         def level(s, carry):
             cX, cY, cZ = carry
@@ -257,25 +275,35 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
             start = K - shift
 
             def shifted(arr, pad):
-                big = jnp.concatenate([pad, arr], axis=1)
-                return jax.lax.dynamic_slice_in_dim(big, start, K, axis=1)
+                big = jnp.concatenate([pad, arr], axis=-1)
+                return jax.lax.dynamic_slice_in_dim(big, start, K, axis=-1)
 
-            pXs = shifted(cX, padX)
-            pYs = shifted(cY, padY)
-            pZs = shifted(cZ, padZ)
+            pXs = shifted(cX, padc)
+            pYs = shifted(cY, pad1)
+            pZs = shifted(cZ, padc)
             pds = shifted(vd, padd)
             ok = jnp.logical_and(idxK2[None, :] >= shift, pds == vd)
             ok = jnp.logical_and(ok, vd != 0)
-            new = ec_add_select(
-                spec,
-                tuple(c.reshape(WP * K, L) for c in (cX, cY, cZ)),
-                tuple(c.reshape(WP * K, L) for c in (pXs, pYs, pZs)),
-                ok.reshape(WP * K),
-                fallback="p",
-            )
-            return tuple(c.reshape(WP, K, L) for c in new)
+            P3 = tuple(c.reshape(L, BK) for c in (cX, cY, cZ))
+            Q3 = tuple(c.reshape(L, BK) for c in (pXs, pYs, pZs))
+            if use_lm_hs:
+                new = ec_add_select_lm(
+                    spec, P3, Q3, ok.reshape(1, BK).astype(jnp.uint32),
+                    fallback="p",
+                )
+            else:
+                rm = ec_add_select(
+                    spec,
+                    tuple(c.T for c in P3),
+                    tuple(c.T for c in Q3),
+                    ok.reshape(BK),
+                    fallback="p",
+                )
+                new = tuple(c.T for c in rm)
+            return tuple(c.reshape(L, WP, K) for c in new)
 
-        cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (vX, vY, vZ))
+        cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (cX, cY, cZ))
+        cX, cY, cZ = (c.transpose(1, 2, 0) for c in (cX, cY, cZ))
         return jax.vmap(deposit_part)(cX, cY, cZ, vd)
 
     dgroups = digits.reshape(NUM_WINDOWS // WP, WP, N)
@@ -319,7 +347,14 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         m_cur = half
     T = tuple(t[:, 0] for t in T3)  # (W, L) each
 
-    # -- window join: R = sum_w 2^(c*w) T_w, Horner from the top window ----
+    # -- window join: R = sum_w 2^(c*w) T_w --------------------------------
+    if jax.default_backend() == "tpu":
+        # fused kernel: masked parallel doublings + sublane roll-tree
+        from ..curves.ec_kernels import ec_window_join
+
+        return ec_window_join(spec, T, WINDOW_BITS)
+
+    # jnp fallback (CPU tests): Horner from the top window
     R0 = tuple(t[NUM_WINDOWS - 1] for t in T)
 
     def join(i, R):

@@ -50,11 +50,16 @@ def bypass_multidevice_compile_cache() -> None:
 
         def _cache_write(cache_key, compile_time_secs, module_name, backend,
                          executable, host_callbacks):
+            # FAIL CLOSED: when the device count cannot be established, skip
+            # the write — jaxlib 0.9 XLA:CPU serialize_executable can
+            # segfault (not raise) on executables the probe cannot classify,
+            # and a lost cache entry is recoverable where SIGSEGV is not.
             try:
-                if len(executable.local_devices()) > 1:
-                    return
+                multi = len(executable.local_devices()) > 1
             except Exception:
-                pass
+                multi = True
+            if multi:
+                return
             return _orig_write(cache_key, compile_time_secs, module_name,
                                backend, executable, host_callbacks)
 
