@@ -87,50 +87,30 @@ def main():
 
     (skeys, sps) = timeit(f"sort x{pp.NUM_WINDOWS} (two-operand)", sort_all, digits)
 
+    from zkdcap_tpu.curves.ec_kernels import ec_madd_scan_full, pack_affine_rows
+
+    prows = pack_affine_rows(pts)  # (N, L) u16-packed rows
+
     @jax.jit
     def gather_all(sps):
         def one(sp):
             order = sp & ((1 << pp._IDX_BITS) - 1)
-            return jnp.take(rows, order, axis=0)
+            return jnp.take(prows, order, axis=0)
 
         return jax.lax.map(one, sps)
 
-    timeit(f"gather x{pp.NUM_WINDOWS} (packed 2L rows)", gather_all, sps)
+    timeit(f"gather x{pp.NUM_WINDOWS} (u16-packed L rows)", gather_all, sps)
 
     # EC lane scan, one group's worth (multiply by NGROUPS for total)
-    from zkdcap_tpu.curves.ec_kernels import ec_add_select_lm
-
     B = WP * G
-    one_b = mont.one_mont(f, (1,))[0]
-    Xm = jnp.zeros((M, L, B), jnp.uint32)
-    Ym = jnp.broadcast_to(one_b[None, :, None], (M, L, B))
-    Zm = jnp.zeros((M, L, B), jnp.uint32)
-    sames = jnp.ones((M, 1, B), jnp.uint32)
+    Pm = jnp.zeros((M, L, B), jnp.uint32)
+    masks = jnp.ones((M, 3, B), jnp.uint32)
 
     @jax.jit
-    def scan_only(Xm, Ym, Zm, sames):
-        iX = jnp.zeros((L, B), jnp.uint32)
-        iY = jnp.broadcast_to(one_b[:, None], (L, B))
-        iZ = jnp.zeros((L, B), jnp.uint32)
-        out0 = jnp.zeros((M, L, B), jnp.uint32)
+    def scan_only(Pm, masks):
+        return ec_madd_scan_full(G1_SPEC, Pm, masks)
 
-        def step(j, carry):
-            acc, (oX, oY, oZ) = carry
-            Pj = tuple(
-                jax.lax.dynamic_index_in_dim(a, j, 0, keepdims=False)
-                for a in (Xm, Ym, Zm)
-            )
-            sm = jax.lax.dynamic_index_in_dim(sames, j, 0, keepdims=False)
-            new = ec_add_select_lm(G1_SPEC, acc, Pj, sm, fallback="q")
-            oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 0)
-            oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 0)
-            oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 0)
-            return (new, (oX, oY, oZ))
-
-        _, outs = jax.lax.fori_loop(0, M, step, ((iX, iY, iZ), (out0, out0, out0)))
-        return outs
-
-    timeit(f"EC lane scan (1 of {NGROUPS} groups)", scan_only, Xm, Ym, Zm, sames)
+    timeit(f"EC whole-scan kernel (1 of {NGROUPS})", scan_only, Pm, masks)
 
     # layout transposes (to_mlb both directions), 1 group
     Xp = jnp.zeros((WP, N, L), jnp.uint32)

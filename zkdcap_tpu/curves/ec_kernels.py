@@ -448,6 +448,163 @@ def ec_madd_scan_lm(spec: CurveSpec, acc, Q, mask2):
     return tuple(c.reshape(L, m_cols) for c in out)
 
 
+def _mk_madd_scan_full_kernel(spec: CurveSpec, sub: int):
+    """Whole-scan mixed-add kernel: ALL M scan steps in one pallas_call.
+
+    Grid is (lane_blocks, M_minor): the TPU grid runs sequentially with the
+    last dimension minor, so for each lane block the kernel sees steps
+    m = 0..M-1 in order while the accumulator lives in VMEM scratch — no
+    HBM round-trip of the 3 accumulator planes between steps and no per-step
+    kernel launch (the per-step fori_loop dispatch dominated the scan at
+    ~2.7 ms/step vs ~0.2 ms of actual work; see BENCH.md round-2 budget).
+
+    The affine stream arrives PACKED: plane j<8 holds X limbs (2j, 2j+1) as
+    lo/hi u16 halves of one u32, planes 8..15 hold Y likewise — the upstream
+    sorted-point gather is row-latency-bound, so halving row bytes nearly
+    halves its cost (scripts/gather_experiment.py); the unpack is free VPU
+    work here. Mask rows: [same-run; valid; negate-Y]. Select semantics per
+    lane match _mk_ec_madd_kernel, with Y2 := neg ? -Y2 : Y2 first.
+    """
+    params: FieldParams = spec.field
+    p_limbs = [int(v) for v in params.p_limbs]
+    n0inv = params.n0inv
+    from ..fields.params import R as RADIX
+
+    b3m = spec.b3 * RADIX % params.p
+    b3 = [(b3m >> (W * i)) & MASK for i in range(L)]
+    onem = RADIX % params.p
+    one_l = [(onem >> (W * i)) & MASK for i in range(L)]
+
+    def kernel(pr, mr, ox, oy, oz, ax, ay, az):
+        m_id = pl.program_id(1)
+
+        @pl.when(m_id == 0)
+        def _init():
+            zero = jnp.zeros((sub, LANE), jnp.uint32)
+            for i in range(L):
+                ax[i] = zero
+                ay[i] = jnp.full((sub, LANE), one_l[i], jnp.uint32)
+                az[i] = zero
+
+        mul, fadd, fsub = _field_ops(p_limbs, n0inv)
+        X1 = [ax[i] for i in range(L)]
+        Y1 = [ay[i] for i in range(L)]
+        Z1 = [az[i] for i in range(L)]
+        X2, Y2 = [], []
+        for j in range(L // 2):
+            v = pr[0, j]
+            X2.append(v & jnp.uint32(0xFFFF))
+            X2.append(v >> 16)
+        for j in range(L // 2):
+            v = pr[0, L // 2 + j]
+            Y2.append(v & jnp.uint32(0xFFFF))
+            Y2.append(v >> 16)
+        b3v = [jnp.full_like(X1[0], c) for c in b3]
+        onev = [jnp.full_like(X1[0], c) for c in one_l]
+        zerov = [jnp.zeros_like(X1[0]) for _ in range(L)]
+
+        neg = mr[0, 2] > 0
+        Yn = fsub(zerov, Y2)
+        Y2 = [jnp.where(neg, a, b) for a, b in zip(Yn, Y2)]
+
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t3 = fsub(mul(fadd(X1, Y1), fadd(X2, Y2)), fadd(t0, t1))
+        t4 = fadd(Y1, mul(Y2, Z1))  # Y1*Z2 + Y2*Z1 with Z2 = 1
+        t5 = fadd(X1, mul(X2, Z1))  # X1*Z2 + X2*Z1
+        t0 = fadd(fadd(t0, t0), t0)
+        t2 = mul(b3v, Z1)  # b3 * Z1*Z2
+        Z3 = fadd(t1, t2)
+        t1 = fsub(t1, t2)
+        Y3 = mul(b3v, t5)
+        X3 = fsub(mul(t3, t1), mul(t4, Y3))
+        Y3 = fadd(mul(t1, Z3), mul(Y3, t0))
+        Z3 = fadd(mul(Z3, t4), mul(t0, t3))
+
+        same = mr[0, 0] > 0
+        valid = mr[0, 1] > 0
+        for i in range(L):
+            nx = jnp.where(
+                valid,
+                jnp.where(same, X3[i], X2[i]),
+                jnp.where(same, X1[i], zerov[i]),
+            )
+            ny = jnp.where(
+                valid,
+                jnp.where(same, Y3[i], Y2[i]),
+                jnp.where(same, Y1[i], onev[i]),
+            )
+            nz = jnp.where(
+                valid,
+                jnp.where(same, Z3[i], onev[i]),
+                jnp.where(same, Z1[i], zerov[i]),
+            )
+            ax[i] = nx
+            ay[i] = ny
+            az[i] = nz
+            ox[0, i] = nx
+            oy[0, i] = ny
+            oz[0, i] = nz
+
+    return kernel
+
+
+@functools.cache
+def _madd_scan_full_call(spec: CurveSpec, m_steps: int, m_cols: int,
+                         interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = m_cols // LANE
+    sub = _fold_sub(m_cols)
+    sub = min(sub, 32)  # 9 (L, sub, 128) refs + double buffering in VMEM
+    while rows % sub:
+        sub //= 2
+    kernel = _mk_madd_scan_full_kernel(spec, sub)
+    grid = (rows // sub, m_steps)
+    spec_c = pl.BlockSpec((1, L, sub, LANE), lambda rb, m: (m, 0, rb, 0))
+    spec_m = pl.BlockSpec((1, 3, sub, LANE), lambda rb, m: (m, 0, rb, 0))
+    scratch = [pltpu.VMEM((L, sub, LANE), jnp.uint32) for _ in range(3)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((m_steps, L, rows, LANE), jnp.uint32)
+            for _ in range(3)
+        ),
+        grid=grid,
+        in_specs=[spec_c, spec_m],
+        out_specs=(spec_c, spec_c, spec_c),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+
+def pack_affine_rows(points: jax.Array) -> jax.Array:
+    """(N, 2, L) u32 16-bit-limb affine Montgomery points -> (N, L) u32
+    packed rows (limbs 2j, 2j+1 as lo/hi u16; X planes 0..7, Y planes 8..15).
+    The encoded infinity (0, 0) packs to an all-zero row."""
+    n = points.shape[0]
+    pairs = points.reshape(n, 2, L // 2, 2)
+    return (pairs[..., 0] | (pairs[..., 1] << 16)).reshape(n, L)
+
+
+def ec_madd_scan_full(spec: CurveSpec, Pm, masks):
+    """Whole segmented scan: Pm (M, L, B) PACKED affine Montgomery stream
+    (see pack_affine_rows; plane j<8 = X limb pair j, j>=8 = Y), masks
+    (M, 3, B) uint32 rows [same-run; valid; negate-Y]. Returns the
+    projective accumulator after every step as a 3-tuple of (M, L, B).
+    B must be a multiple of 128."""
+    interpret = jax.default_backend() != "tpu"
+    m_steps, _, m_cols = Pm.shape
+    rows = m_cols // LANE
+    call = _madd_scan_full_call(spec, m_steps, m_cols, interpret)
+
+    def fold(a):
+        return a.reshape(m_steps, a.shape[1], rows, LANE)
+
+    out = call(fold(Pm), fold(masks))
+    return tuple(c.reshape(m_steps, L, m_cols) for c in out)
+
+
 def ec_add_select(spec: CurveSpec, P, Q, mask, fallback: str):
     """Row-major wrapper: P, Q 3-tuples of (M, L); mask (M,) bool/int.
 

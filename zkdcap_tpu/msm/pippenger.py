@@ -111,12 +111,20 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
     K = min(N, G + NUM_BUCKETS)  # upper bound on per-window run-end count
 
     digits = _signed_digits(scalars_std)  # (W, N) signed
-    rows = points.reshape(N, 2 * L)  # X ‖ Y packed per point
 
     idxN = jnp.arange(N, dtype=jnp.int32)
     idxK = jnp.arange(K, dtype=jnp.int32)
     WP = _window_parallel(NUM_WINDOWS, G)
-    from ..curves.ec_kernels import ec_add_select
+    from ..curves.ec_kernels import BLOCK as EC_BLOCK, ec_add_select, pack_affine_rows
+
+    use_lm = (WP * G) % EC_BLOCK == 0 and jax.default_backend() == "tpu"
+    if use_lm:
+        # u16-packed rows: the sorted-point gather is row-latency-bound, so
+        # 64 B rows gather ~2x faster than 128 B ones; the scan kernel
+        # unpacks (and applies the sign) in VMEM for free
+        rows = pack_affine_rows(points)  # (N, L)
+    else:
+        rows = points.reshape(N, 2 * L)  # X ‖ Y unpacked per point
 
     def sort_part(d_w):
         # -- stages 2+3: one two-operand sort, one packed gather -----------
@@ -125,12 +133,14 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         skey, sp = jax.lax.sort((key, payload), num_keys=1)
         order = sp & ((1 << _IDX_BITS) - 1)
         neg_mask = sp >> _IDX_BITS
-        g = jnp.take(rows, order, axis=0)  # (N, 2L): ONE gather per point
-        X, Y = g[:, :L], g[:, L:]
+        g = jnp.take(rows, order, axis=0)  # ONE row gather per point
         pt_inf = jnp.all(g == 0, axis=-1)
-        Y = jnp.where((neg_mask == 1)[:, None], mont.neg(f, Y), Y)
         d = skey.astype(jnp.int32)
         valid = jnp.logical_and(d != 0, jnp.logical_not(pt_inf))
+        if use_lm:
+            return g, (neg_mask == 1), valid, d
+        X, Y = g[:, :L], g[:, L:]
+        Y = jnp.where((neg_mask == 1)[:, None], mont.neg(f, Y), Y)
         return X, Y, valid, d
 
     def compact_part(sX, sY, sZ, d):
@@ -174,51 +184,60 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
     def group_fn(d_grp):
         # (WP, N) digits -> (WP, NUM_BUCKETS) buckets. The EC-heavy stages
         # run on merged (WP*G) lanes through the fused pallas add kernels.
-        Xs, Ys, valid, d = jax.vmap(sort_part)(d_grp)  # (WP, N, L) x2, (WP, N)
+        B = WP * G
+        from ..curves.ec_kernels import ec_add_select_lm, ec_madd_scan_full
+
+        def to_mlb(A):  # (WP, N, L) -> (M, L, B)
+            return A.reshape(WP, G, M, L).transpose(2, 3, 0, 1).reshape(M, L, B)
+
+        def to_mb(A):  # (WP, N) -> (M, B)
+            return A.reshape(WP, G, M).transpose(2, 0, 1).reshape(M, B)
 
         # -- stage 4: per-lane segmented scan (kernelized mixed EC adds) ---
         # (M, L, B) layout, B = WP*G merged lanes: each step j reads a
         # CONTIGUOUS (L, B) limb-major block and feeds the fused pallas
         # MIXED-add kernel (the sorted stream is affine, Z2 = 1: one fewer
         # multiply, no Z plane in HBM, validity folded into the select).
-        B = WP * G
-        from ..curves.ec_kernels import (
-            BLOCK as EC_BLOCK,
-            ec_add_select_lm,
-            ec_madd_scan_lm,
-        )
-
-        use_lm = B % EC_BLOCK == 0 and jax.default_backend() == "tpu"
-
-        def to_mlb(A):  # (WP, N, L) -> (M, L, B)
-            return A.reshape(WP, G, M, L).transpose(2, 3, 0, 1).reshape(M, L, B)
-
-        Xm, Ym = to_mlb(Xs), to_mlb(Ys)
-        dm = d.reshape(WP, G, M).transpose(2, 0, 1).reshape(M, B)
-        validm = valid.reshape(WP, G, M).transpose(2, 0, 1).reshape(M, B)
-        # mask rows per step: [same-digit-as-previous-in-lane; valid]
-        sames = jnp.concatenate(
-            [jnp.zeros((1, B), jnp.uint32),
-             (dm[1:] == dm[:-1]).astype(jnp.uint32)], axis=0
-        )
-        masks = jnp.stack([sames, validm.astype(jnp.uint32)], axis=1)  # (M,2,B)
-
-        out0 = jnp.zeros((M, L, B), jnp.uint32)
         one_b = mont.one_mont(f, (1,))[0]
-        iX = jnp.zeros((L, B), jnp.uint32)
-        iY = jnp.broadcast_to(one_b[:, None], (L, B))
-        iZ = jnp.zeros((L, B), jnp.uint32)
-
-        def step(j, carry):
-            (aX, aY, aZ), (oX, oY, oZ) = carry
-            Qj = tuple(
-                jax.lax.dynamic_index_in_dim(arr, j, 0, keepdims=False)
-                for arr in (Xm, Ym)
+        if use_lm:
+            Ps, negs, valid, d = jax.vmap(sort_part)(d_grp)  # (WP,N,L) packed
+            Pm = to_mlb(Ps)
+            dm = to_mb(d)
+            sames = jnp.concatenate(
+                [jnp.zeros((1, B), jnp.uint32),
+                 (dm[1:] == dm[:-1]).astype(jnp.uint32)], axis=0
             )
-            m2 = jax.lax.dynamic_index_in_dim(masks, j, 0, keepdims=False)
-            if use_lm:
-                new = ec_madd_scan_lm(spec, (aX, aY, aZ), Qj, m2)
-            else:
+            masks = jnp.stack(
+                [sames, to_mb(valid).astype(jnp.uint32),
+                 to_mb(negs).astype(jnp.uint32)], axis=1
+            )  # (M, 3, B)
+            # whole scan in ONE kernel: acc lives in VMEM scratch across the
+            # M grid steps (no per-step launch / acc HBM round-trips)
+            oX, oY, oZ = ec_madd_scan_full(spec, Pm, masks)
+        else:
+            Xs, Ys, valid, d = jax.vmap(sort_part)(d_grp)
+            Xm, Ym = to_mlb(Xs), to_mlb(Ys)
+            dm = to_mb(d)
+            validm = to_mb(valid)
+            sames = jnp.concatenate(
+                [jnp.zeros((1, B), jnp.uint32),
+                 (dm[1:] == dm[:-1]).astype(jnp.uint32)], axis=0
+            )
+            masks = jnp.stack(
+                [sames, validm.astype(jnp.uint32)], axis=1
+            )  # (M, 2, B)
+            out0 = jnp.zeros((M, L, B), jnp.uint32)
+            iX = jnp.zeros((L, B), jnp.uint32)
+            iY = jnp.broadcast_to(one_b[:, None], (L, B))
+            iZ = jnp.zeros((L, B), jnp.uint32)
+
+            def step(j, carry):
+                (aX, aY, aZ), (oX, oY, oZ) = carry
+                Qj = tuple(
+                    jax.lax.dynamic_index_in_dim(arr, j, 0, keepdims=False)
+                    for arr in (Xm, Ym)
+                )
+                m2 = jax.lax.dynamic_index_in_dim(masks, j, 0, keepdims=False)
                 # jnp fallback: projective Q with validity pre-masked
                 ok = m2[1] > 0
                 one_row = jnp.broadcast_to(one_b[:, None], Qj[0].shape)
@@ -235,14 +254,14 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
                     fallback="q",
                 )
                 new = tuple(c.T for c in rm)
-            oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 0)
-            oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 0)
-            oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 0)
-            return (new, (oX, oY, oZ))
+                oX = jax.lax.dynamic_update_index_in_dim(oX, new[0], j, 0)
+                oY = jax.lax.dynamic_update_index_in_dim(oY, new[1], j, 0)
+                oZ = jax.lax.dynamic_update_index_in_dim(oZ, new[2], j, 0)
+                return (new, (oX, oY, oZ))
 
-        _, (oX, oY, oZ) = jax.lax.fori_loop(
-            0, M, step, ((iX, iY, iZ), (out0, out0, out0))
-        )
+            _, (oX, oY, oZ) = jax.lax.fori_loop(
+                0, M, step, ((iX, iY, iZ), (out0, out0, out0))
+            )
 
         def from_mlb(A):  # (M, L, B) -> (WP, N, L)
             return A.reshape(M, L, WP, G).transpose(2, 3, 0, 1).reshape(WP, N, L)
