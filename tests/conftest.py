@@ -42,13 +42,31 @@ os.environ["XLA_FLAGS"] = _flags
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 
 # jaxlib 0.9.0 XLA:CPU cannot round-trip MULTI-DEVICE executables through
 # the persistent cache (deserialize segfaults); single-device entries stay
-# cached. Shared helper so the driver's dryrun gets the same guard.
-from zkdcap_tpu.parallel.mesh import bypass_multidevice_compile_cache
+# cached. Shared helpers so the driver's dryrun gets the same guards.
+from zkdcap_tpu.parallel.mesh import (
+    bypass_multidevice_compile_cache,
+    ensure_cpu_cache_matches_machine,
+)
 
+ensure_cpu_cache_matches_machine(_cache_dir)
 bypass_multidevice_compile_cache()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+# Mesh-using test files run in SUBPROCESSES (tests/test_zmesh_isolated.py
+# spawns one inner pytest per file). In-process, XLA:CPU multi-device
+# programs destabilise jaxlib 0.9: after enough compiles accumulate,
+# persistent-cache reads/writes AND raw backend_compile SEGFAULT — observed
+# five times across full-suite runs, always after the mesh block, never in
+# a fresh process. Isolation also keeps the main process's persistent cache
+# un-poisoned (see mesh.bypass_multidevice_compile_cache). The inner run
+# sets ZKDCAP_MESH_INNER=1 to re-enable collection.
+MESH_TEST_FILES = ["test_mesh_prover.py", "test_multihost.py", "test_parallel.py"]
+if not os.environ.get("ZKDCAP_MESH_INNER"):
+    collect_ignore = list(MESH_TEST_FILES)

@@ -45,6 +45,8 @@ from ..curves.device_g1 import (
     decode_points,
     ec_add,
     ec_double,
+    ec_inf,
+    ec_select,
 )
 from ..fields import BN254_FR, mont
 from ..fields.params import NUM_LIMBS
@@ -96,6 +98,57 @@ def _window_parallel(n_windows: int, lanes: int) -> int:
         if n_windows % wp == 0 and wp * lanes <= budget:
             return wp
     return 1
+
+
+# Point counts at or below this use the double-and-add ladder: the full
+# Pippenger program (sorts, scans, pallas kernels) costs MINUTES of XLA
+# compile per shape on the CPU backend, while the ladder is a tiny
+# fori_loop that compiles in seconds and is plenty fast at these sizes.
+# (The prover's real commitments are 2^17..2^18 points; tiny MSMs appear
+# only in tests, toy circuits, and the multiopen's final combine.)
+SMALL_MSM_MAX = 512
+
+
+@partial(jax.jit, static_argnums=(0,))
+def msm_ladder(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array):
+    """O(256·N) double-and-add MSM for small N: per bit, a masked log-depth
+    tree sum of the points, Horner-accumulated over the 256 scalar bits.
+    Exact same group element as msm_device (complete formulas throughout)."""
+    f = spec.field
+    N = points.shape[0]
+    npad = max(1 << (N - 1).bit_length(), 1) if N > 1 else 1
+    Px, Py = points[:, 0], points[:, 1]
+    pt_inf = jnp.logical_and(mont.is_zero(Px), mont.is_zero(Py))
+    one = mont.one_mont(f, (N,))
+    Py = jnp.where(pt_inf[:, None], one, Py)
+    Pz = jnp.where(pt_inf[:, None], jnp.zeros_like(one), one)
+    if npad != N:
+        inf = ec_inf(spec, (npad - N,))
+        Px = jnp.concatenate([Px, inf[0]])
+        Py = jnp.concatenate([Py, inf[1]])
+        Pz = jnp.concatenate([Pz, inf[2]])
+        scalars_std = jnp.concatenate(
+            [scalars_std, jnp.zeros((npad - N, L), jnp.uint32)]
+        )
+
+    def step(t, acc):
+        j = 255 - t  # MSB first
+        acc = ec_double(spec, acc)
+        limb = jnp.take(scalars_std, j // 16, axis=1)  # (npad, L) -> (npad,)
+        bit = (limb >> (j % 16).astype(jnp.uint32)) & 1
+        sub = ec_select(bit.astype(bool), (Px, Py, Pz), ec_inf(spec, (npad,)))
+        m = npad
+        while m > 1:
+            half = m // 2
+            sub = ec_add(
+                spec,
+                tuple(c[:half] for c in sub),
+                tuple(c[half : 2 * half] for c in sub),
+            )
+            m = half
+        return ec_add(spec, acc, tuple(c[0] for c in sub))
+
+    return jax.lax.fori_loop(0, 256, step, ec_inf(spec))
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -392,6 +445,8 @@ def msm(points: jax.Array, scalars_mont: jax.Array, spec: CurveSpec = G1_SPEC):
     """
     N = points.shape[0]
     scalars_std = mont.from_mont(BN254_FR, scalars_mont)
+    if N <= SMALL_MSM_MAX:
+        return msm_ladder(spec, points, scalars_std)
     n_pow = 1 << max((N - 1).bit_length(), 0) if N > 1 else 1
     lanes = min(16384, n_pow)
     pad = n_pow - N
@@ -411,6 +466,8 @@ def msm_host(points: jax.Array, scalars_mont: jax.Array, spec: CurveSpec = G1_SP
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _msm_many_device(spec: CurveSpec, points, scalars_std_batch, lanes: int):
+    if points.shape[0] <= SMALL_MSM_MAX:
+        return jax.vmap(lambda s: msm_ladder(spec, points, s))(scalars_std_batch)
     return jax.vmap(lambda s: msm_device(spec, points, s, lanes))(scalars_std_batch)
 
 

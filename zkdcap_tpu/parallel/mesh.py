@@ -25,6 +25,49 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def ensure_cpu_cache_matches_machine(cache_dir: str) -> None:
+    """Wipe a CPU persistent-compile-cache dir when the host CPU changed.
+
+    XLA:CPU AOT entries embed the compile machine's CPU features but the
+    cache key does not, and this VM migrates across heterogeneous hosts:
+    deserializing an entry compiled on a former host SEGFAULTS (observed in
+    compilation_cache.get_executable_and_time during a suite run after a
+    migration). A MACHINE marker file holds a fingerprint of the host's
+    /proc/cpuinfo feature flags; on mismatch every cache entry is deleted.
+    Call before first backend use from every CPU-backend entry point
+    (tests/conftest.py, __graft_entry__)."""
+    import hashlib
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+        fp = hashlib.blake2b(flags.encode(), digest_size=16).hexdigest()
+    except OSError:
+        return
+    marker = os.path.join(cache_dir, "MACHINE")
+    try:
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                if f.read() == fp:
+                    return
+        if os.path.isdir(cache_dir):
+            for name in os.listdir(cache_dir):
+                if name != "MACHINE":
+                    try:
+                        os.unlink(os.path.join(cache_dir, name))
+                    except OSError:
+                        pass
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(fp)
+    except OSError:
+        pass  # fail open: a purge miss only risks the pre-existing behavior
+
+
 def bypass_multidevice_compile_cache() -> None:
     """Disable the persistent compilation cache for MULTI-device programs.
 
@@ -40,16 +83,32 @@ def bypass_multidevice_compile_cache() -> None:
         if getattr(_jc, "_zkdcap_md_bypass", False):
             return
         _orig_read, _orig_write = _jc._cache_read, _jc._cache_write
+        # Once ANY multi-device executable has been compiled in this
+        # process, XLA:CPU executable (de)serialization can SEGFAULT on
+        # subsequent SINGLE-device entries too (observed deterministically
+        # in full-suite runs: sharded shard_map tests, then the next
+        # single-device put_executable_and_time OR get_executable_and_time
+        # crashes). After the first multi-device compile the persistent
+        # cache is disabled for the rest of the process — recompiles are
+        # recoverable where SIGSEGV is not. The test suite orders
+        # mesh-using files last (tests/conftest.py) so the bulk of the
+        # suite keeps full cache benefit.
+        state = {"poisoned": False}
 
         def _cache_read(module_name, cache_key, compile_options, backend,
                         executable_devices):
             if len(executable_devices) > 1:
+                state["poisoned"] = True
+                return None, None
+            if state["poisoned"]:
                 return None, None
             return _orig_read(module_name, cache_key, compile_options,
                               backend, executable_devices)
 
         def _cache_write(cache_key, compile_time_secs, module_name, backend,
                          executable, host_callbacks):
+            if state["poisoned"]:
+                return
             # FAIL CLOSED: when the device count cannot be established, skip
             # the write — jaxlib 0.9 XLA:CPU serialize_executable can
             # segfault (not raise) on executables the probe cannot classify,
@@ -59,6 +118,7 @@ def bypass_multidevice_compile_cache() -> None:
             except Exception:
                 multi = True
             if multi:
+                state["poisoned"] = True
                 return
             return _orig_write(cache_key, compile_time_secs, module_name,
                                backend, executable, host_callbacks)

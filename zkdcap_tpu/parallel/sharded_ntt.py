@@ -16,7 +16,7 @@ Output: evaluations in natural order, sharded along the first axis.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -30,32 +30,17 @@ from ..poly.ops import power_table_for
 L = NUM_LIMBS
 
 
-def sharded_ntt(
-    mesh: Mesh,
-    a: jax.Array,
-    params: FieldParams = BN254_FR,
-    axis: str | tuple = None,
-) -> jax.Array:
-    """Forward NTT of a (n, L) coefficient array, n = N1*N2 a power of two.
-
-    `axis` may be a single mesh axis or a tuple (multi-host (host, chip)
-    meshes) — the all-to-all stage exchange then spans the flattened axes
-    (ICI within a host, DCN across hosts)."""
-    n = a.shape[0]
-    log_n = n.bit_length() - 1
-    assert 1 << log_n == n
-    if axis is None:
-        axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
-    n_dev = mesh.devices.size
+@lru_cache(maxsize=None)
+def _sharded_ntt_fn(mesh: Mesh, axis, params: FieldParams, log_n: int):
+    """Build (once per (mesh, axis, field, size)) the jitted shard-mapped
+    four-step NTT. A fresh closure per call would re-trace and re-compile
+    the multi-device executable on every invocation (multi-device programs
+    bypass the persistent cache — mesh.bypass_multidevice_compile_cache)."""
+    n = 1 << log_n
     log_n1 = log_n // 2
     n1 = 1 << log_n1
-    n2 = n // n1
-    assert n2 % n_dev == 0 and n1 % n_dev == 0, "mesh size must divide both factors"
 
-    tw1 = twiddle_table(params, log_n1, False)
-    tw2 = twiddle_table(params, log_n - log_n1, False)
-    w_n = power_table_for(params, params.nth_root_of_unity(log_n), n)
-
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -96,6 +81,35 @@ def sharded_ntt(
         out = jnp.swapaxes(blocks, 0, 1).reshape(-1, L)  # (n2/D * n1, L) natural
         return out
 
+    return run
+
+
+def sharded_ntt(
+    mesh: Mesh,
+    a: jax.Array,
+    params: FieldParams = BN254_FR,
+    axis: str | tuple = None,
+) -> jax.Array:
+    """Forward NTT of a (n, L) coefficient array, n = N1*N2 a power of two.
+
+    `axis` may be a single mesh axis or a tuple (multi-host (host, chip)
+    meshes) — the all-to-all stage exchange then spans the flattened axes
+    (ICI within a host, DCN across hosts)."""
+    n = a.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if axis is None:
+        axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
+    n_dev = mesh.devices.size
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = n // n1
+    assert n2 % n_dev == 0 and n1 % n_dev == 0, "mesh size must divide both factors"
+
+    tw1 = twiddle_table(params, log_n1, False)
+    tw2 = twiddle_table(params, log_n - log_n1, False)
+    w_n = power_table_for(params, params.nth_root_of_unity(log_n), n)
+
     # lay input out column-major: A[i,j] = a[i*n2+j]; column-major flat = (j, i)
     a_cm = a.reshape(n1, n2, L).swapaxes(0, 1).reshape(n, L)
-    return run(a_cm, tw1, tw2, w_n)
+    return _sharded_ntt_fn(mesh, axis, params, log_n)(a_cm, tw1, tw2, w_n)
