@@ -28,6 +28,31 @@ from ..fields import mont
 from ..fields.params import NUM_LIMBS, FieldParams, int_to_limbs
 
 
+def _cache_concrete(fn):
+    """functools.cache that refuses to memoise tracers. These helpers build
+    device tables by calling jitted sub-programs; when such a helper is
+    FIRST invoked inside an outer trace (e.g. the prover's jitted quotient
+    program), the result is a tracer of that trace — caching it leaks it
+    into later calls (UnexpectedTracerError). Inside a trace the value is
+    recomputed (free: it folds into the surrounding program); concrete
+    results are cached as before."""
+    cache = {}
+
+    @functools.wraps(fn)
+    def wrapped(*args):
+        hit = cache.get(args)
+        if hit is not None:
+            return hit
+        out = fn(*args)
+        if not isinstance(
+            out, jax.core.Tracer
+        ) and not any(isinstance(o, jax.core.Tracer) for o in jax.tree_util.tree_leaves(out)):
+            cache[args] = out
+        return out
+
+    return wrapped
+
+
 @functools.cache
 def bit_reverse_perm(log_n: int) -> np.ndarray:
     n = 1 << log_n
@@ -63,7 +88,7 @@ def _doubling_table(params: FieldParams, base: int, log_len: int) -> jax.Array:
     return _doubling_table_impl(params, tuple(shifts))
 
 
-@functools.cache
+@_cache_concrete
 def twiddle_table(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
     """Device table [w^0, w^1, ..., w^(n/2 - 1)] in Montgomery form."""
     w = params.nth_root_of_unity(log_n)
@@ -141,7 +166,7 @@ def _four_step_split(log_n: int) -> tuple[int, int]:
     return log_n1, log_n - log_n1
 
 
-@functools.cache
+@_cache_concrete
 def _four_step_twiddles(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
     """(L, n) device table: tw[:, j*N1 + k1] = w^(+-j*k1) [* n^-1 if inverse]."""
     from ..fields import mont
@@ -246,7 +271,7 @@ def ntt(params: FieldParams, a: jax.Array) -> jax.Array:
     return _ntt_impl(params, a, twiddle_table(params, log_n, False), log_n, False)
 
 
-@functools.cache
+@_cache_concrete
 def _n_inv_mont(params: FieldParams, log_n: int) -> jax.Array:
     return mont.encode_ints(params, [pow(1 << log_n, -1, params.p)])
 
@@ -316,7 +341,7 @@ def intt(params: FieldParams, a: jax.Array) -> jax.Array:
     return mont.mont_mul(params, out, ninv)
 
 
-@functools.cache
+@_cache_concrete
 def power_table(params: FieldParams, base: int, n: int) -> jax.Array:
     """Device table [base^0 .. base^(n-1)] (Montgomery), doubling-built."""
     log_n = max((n - 1).bit_length(), 1)

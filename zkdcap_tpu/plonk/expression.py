@@ -205,9 +205,13 @@ class Evaluator:
         if isinstance(e, Constant):
             return jnp.broadcast_to(mont.encode_ints(BN254_FR, [e.value]), (n, 16))
         if isinstance(e, Challenge):
-            return jnp.broadcast_to(
-                mont.encode_ints(BN254_FR, [self.challenges[e.name]]), (n, 16)
-            )
+            v = self.challenges[e.name]
+            if isinstance(v, int):
+                v = mont.encode_ints(BN254_FR, [v])[0]
+            # (L,) Montgomery array — host int (eager paths) or a traced
+            # value (the jitted quotient program passes challenges as
+            # arrays so one compiled program serves every proof)
+            return jnp.broadcast_to(v[None, :], (n, 16))
         if isinstance(e, Fixed):
             return self._col(self.fixed[e.index], e.rotation)
         if isinstance(e, Advice):

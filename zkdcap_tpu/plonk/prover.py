@@ -111,6 +111,186 @@ def _permute_lookup_pair_rows(a_std: np.ndarray, s_std: np.ndarray):
     return order, s_pos
 
 
+def _enc1(v: int) -> jax.Array:
+    """Host int -> (L,) Montgomery row (challenge argument encoding)."""
+    return mont.encode_ints(BN254_FR, [v % R])[0]
+
+
+def _pk_program(pk: ProvingKey, name: str, builder):
+    """Per-pk cache of a jitted round program (traced-challenge design:
+    one compiled program serves every proof for this pk)."""
+    progs = getattr(pk, "_round_programs", None)
+    if progs is None:
+        progs = {}
+        pk._round_programs = progs
+    fn = progs.get(name)
+    if fn is None:
+        fn = builder(pk)
+        progs[name] = fn
+    return fn
+
+
+def _lookup_compress_program_for(pk: ProvingKey):
+    """Round-2 input/table compression: ONE program for every lookup's
+    theta-combined columns (eagerly this is ~#lookups x #pairs x AST-size
+    dispatches over (n, L) arrays). Returns Montgomery AND canonical forms
+    (the host multiset sort consumes the canonical rows)."""
+    cs = pk.cs
+
+    def builder(_pk):
+        def run(fixed_lagr, advice_lagr, instance_lagr, theta_r):
+            ev = Evaluator(fixed_lagr, advice_lagr, instance_lagr,
+                           challenges={"theta": theta_r})
+            out = []
+            for lk in cs.lookups:
+                theta_pow = mont.one_mont(BN254_FR)
+                a_comp = None
+                s_comp = None
+                for e_in, e_tb in zip(lk.inputs, lk.tables):
+                    ai = ev.eval(e_in)
+                    si = ev.eval(e_tb)
+                    tp = jnp.broadcast_to(theta_pow[None, :], ai.shape)
+                    a_term = mont.mont_mul(BN254_FR, ai, tp)
+                    s_term = mont.mont_mul(BN254_FR, si, tp)
+                    a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
+                    s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
+                    theta_pow = mont.mont_mul(
+                        BN254_FR, theta_pow[None], theta_r[None]
+                    )[0]
+                out.append((a_comp, s_comp,
+                            mont.from_mont(BN254_FR, a_comp),
+                            mont.from_mont(BN254_FR, s_comp)))
+            return out
+
+        return jax.jit(run)
+
+    return _pk_program(pk, "lookup_compress", builder)
+
+
+def _lookup_perm_program_for(pk: ProvingKey):
+    """Round-2 permute+blind+INTT: device gather by the host-computed sort
+    order, blinding rows appended, and the batched INTT of every permuted
+    column — one program, one dispatch."""
+    cs = pk.cs
+    n = 1 << pk.k
+    u = cs.usable_rows(n)
+
+    def builder(_pk):
+        def run(a_comps, s_comps, aorders, s_poss, a_blinds, s_blinds):
+            padz = jnp.zeros((n - u, NUM_LIMBS), jnp.uint32)
+            perm_lagr = []
+            for a_comp, s_comp, aorder, s_pos, ab, sb in zip(
+                a_comps, s_comps, aorders, s_poss, a_blinds, s_blinds
+            ):
+                a_perm = jnp.concatenate(
+                    [jnp.take(a_comp[:u], aorder, axis=0), padz]
+                ).at[u:].set(ab)
+                s_perm = jnp.concatenate(
+                    [jnp.take(s_comp[:u], s_pos, axis=0), padz]
+                ).at[u:].set(sb)
+                perm_lagr.extend([a_perm, s_perm])
+            return perm_lagr, intt_many(BN254_FR, perm_lagr)
+
+        return jax.jit(run)
+
+    return _pk_program(pk, "lookup_perm", builder)
+
+
+def _perm_z_program_for(pk: ProvingKey):
+    """Round-3 permutation grand products: every chunk's ratio products,
+    batch inverse, log-depth prefix scan, chunk chaining, blinding, and the
+    batched INTT — one compiled program with beta/gamma traced."""
+    cs = pk.cs
+    n = 1 << pk.k
+    u = cs.usable_rows(n)
+    domain = pk.domain
+    m = len(cs.permutation_columns)
+    chunk = cs.permutation_chunk_len
+    delta_rows = [
+        mont.encode_ints(BN254_FR, [pow(DELTA, i, R)])[0] for i in range(max(m, 1))
+    ]
+
+    def builder(_pk):
+        def run(fixed_lagr, advice_lagr, instance_lagr, sigma_lagr,
+                beta_r, gamma_r, blinds):
+            omega_pows = power_table_for(BN254_FR, domain.omega, n)
+            gamma_b = jnp.broadcast_to(gamma_r[None], (n, NUM_LIMBS))
+            beta_b = jnp.broadcast_to(beta_r[None], (n, NUM_LIMBS))
+            col_arrays = {"fixed": fixed_lagr, "advice": advice_lagr,
+                          "instance": instance_lagr}
+            perm_zs = []
+            last_z_end = None
+            for zi, c0 in enumerate(range(0, m, chunk)):
+                cols = cs.permutation_columns[c0 : c0 + chunk]
+                num = None
+                den = None
+                for off, col in enumerate(cols):
+                    i = c0 + off
+                    vals = col_arrays[col.kind][col.index]
+                    bd = mont.mont_mul(BN254_FR, beta_r[None], delta_rows[i][None])[0]
+                    id_term = mont.mont_mul(
+                        BN254_FR, omega_pows,
+                        jnp.broadcast_to(bd[None], (n, NUM_LIMBS)),
+                    )
+                    nterm = mont.add(BN254_FR, mont.add(BN254_FR, vals, id_term), gamma_b)
+                    sterm = mont.mont_mul(BN254_FR, sigma_lagr[i], beta_b)
+                    dterm = mont.add(BN254_FR, mont.add(BN254_FR, vals, sterm), gamma_b)
+                    num = nterm if num is None else mont.mont_mul(BN254_FR, num, nterm)
+                    den = dterm if den is None else mont.mont_mul(BN254_FR, den, dterm)
+                ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den, u))
+                onem = mont.one_mont(BN254_FR, (n,))
+                mask = (jnp.arange(n) < u)[:, None]
+                ratios = jnp.where(mask, ratios, onem)
+                z = _prefix_product_exclusive(ratios)
+                if last_z_end is not None:
+                    start = jnp.broadcast_to(last_z_end, (n, NUM_LIMBS))
+                    z = mont.mont_mul(BN254_FR, z, start)
+                last_z_end = z[u]
+                z = z.at[u + 1 :].set(blinds[zi])
+                perm_zs.append(z)
+            return perm_zs, intt_many(BN254_FR, perm_zs)
+
+        return jax.jit(run)
+
+    return _pk_program(pk, "perm_z", builder)
+
+
+def _lookup_z_program_for(pk: ProvingKey):
+    """Round-4 lookup grand products (same design as round 3)."""
+    cs = pk.cs
+    n = 1 << pk.k
+    u = cs.usable_rows(n)
+
+    def builder(_pk):
+        def run(a_list, s_list, ap_list, sp_list, beta_r, gamma_r, blinds):
+            beta_b = jnp.broadcast_to(beta_r[None], (n, NUM_LIMBS))
+            gamma_b = jnp.broadcast_to(gamma_r[None], (n, NUM_LIMBS))
+            zs = []
+            for li, (a, s, ap, sp) in enumerate(zip(a_list, s_list, ap_list, sp_list)):
+                num = mont.mont_mul(
+                    BN254_FR,
+                    mont.add(BN254_FR, a, beta_b),
+                    mont.add(BN254_FR, s, gamma_b),
+                )
+                den = mont.mont_mul(
+                    BN254_FR,
+                    mont.add(BN254_FR, ap, beta_b),
+                    mont.add(BN254_FR, sp, gamma_b),
+                )
+                ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den, u))
+                onem = mont.one_mont(BN254_FR, (n,))
+                mask = (jnp.arange(n) < u)[:, None]
+                ratios = jnp.where(mask, ratios, onem)
+                z = _prefix_product_exclusive(ratios)
+                z = z.at[u + 1 :].set(blinds[li])
+                zs.append(z)
+            return zs, intt_many(BN254_FR, zs)
+
+        return jax.jit(run)
+
+    return _pk_program(pk, "lookup_z", builder)
+
+
 def create_proof(
     params: ParamsKZG,
     pk: ProvingKey,
@@ -239,54 +419,42 @@ def create_proof(
     theta = transcript.squeeze_challenge()
 
     # --- round 2: lookup permuted columns --------------------------------
+    def _blind_vals(tag: bytes, count: int) -> jax.Array:
+        return mont.encode_ints(BN254_FR, _seeded_rand_ints(blinding_seed + tag, count))
+
     if ck and ck.has("r2"):
         st = ck.load("r2", transcript, ck_fp)
         lookup_data = st["lookup_data"]
     else:
-        ev_row = Evaluator(
-            pk.fixed_lagrange, advice_lagrange, instance_lagrange, challenges={"theta": theta}
-        )
         lookup_data = []
-        for li, lk in enumerate(cs.lookups):
-            theta_pow = 1
-            a_comp = None
-            s_comp = None
-            for e_in, e_tb in zip(lk.inputs, lk.tables):
-                ai = ev_row.eval(e_in)
-                si = ev_row.eval(e_tb)
-                tp = mont.encode_ints(BN254_FR, [theta_pow])
-                tp_b = jnp.broadcast_to(tp, ai.shape)
-                a_term = mont.mont_mul(BN254_FR, ai, tp_b)
-                s_term = mont.mont_mul(BN254_FR, si, tp_b)
-                a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
-                s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
-                theta_pow = theta_pow * theta % R
-            a_std = np.asarray(mont.from_mont(BN254_FR, a_comp))[:u]
-            s_std = np.asarray(mont.from_mont(BN254_FR, s_comp))[:u]
-            aorder, s_pos = _permute_lookup_pair_rows(a_std, s_std)
-            a_np = np.asarray(jax.device_get(a_comp))[:u]
-            s_np = np.asarray(jax.device_get(s_comp))[:u]
-            padz = np.zeros((n - u, NUM_LIMBS), np.uint32)
-            a_perm = jnp.asarray(np.concatenate([a_np[aorder], padz]))
-            s_perm = jnp.asarray(np.concatenate([s_np[s_pos], padz]))
-            a_perm = _blind(a_perm, n, u - 1, blinding_seed, b"lkA%d" % li)
-            s_perm = _blind(s_perm, n, u - 1, blinding_seed, b"lkS%d" % li)
-            lookup_data.append(
-                {"a": a_comp, "s": s_comp, "a_perm": a_perm, "s_perm": s_perm}
+        if cs.lookups:
+            comps = _lookup_compress_program_for(pk)(
+                list(pk.fixed_lagrange), list(advice_lagrange),
+                list(instance_lagrange), _enc1(theta),
             )
-        if lookup_data:
-            perm_lagr = []
-            for ld in lookup_data:
-                perm_lagr.extend([ld["a_perm"], ld["s_perm"]])
-            perm_coeffs = intt_many(BN254_FR, perm_lagr)
+            aorders, s_poss, a_blinds, s_blinds = [], [], [], []
+            for li, (a_comp, s_comp, a_std, s_std) in enumerate(comps):
+                a_std_h = np.asarray(jax.device_get(a_std))[:u]
+                s_std_h = np.asarray(jax.device_get(s_std))[:u]
+                aorder, s_pos = _permute_lookup_pair_rows(a_std_h, s_std_h)
+                aorders.append(jnp.asarray(aorder.astype(np.int32)))
+                s_poss.append(jnp.asarray(s_pos.astype(np.int32)))
+                a_blinds.append(_blind_vals(b"lkA%d" % li, n - u))
+                s_blinds.append(_blind_vals(b"lkS%d" % li, n - u))
+                lookup_data.append({"a": a_comp, "s": s_comp})
+            perm_lagr, perm_coeffs = _lookup_perm_program_for(pk)(
+                [ld["a"] for ld in lookup_data], [ld["s"] for ld in lookup_data],
+                aorders, s_poss, a_blinds, s_blinds,
+            )
             for li, ld in enumerate(lookup_data):
+                ld["a_perm"] = perm_lagr[2 * li]
+                ld["s_perm"] = perm_lagr[2 * li + 1]
                 ld["a_perm_coeff"] = perm_coeffs[2 * li]
                 ld["s_perm_coeff"] = perm_coeffs[2 * li + 1]
             for pt in params.commit_many(perm_coeffs, mesh=mesh):
                 transcript.write_point(pt)
         if ck:
             ck.save("r2", transcript, ck_fp, lookup_data=lookup_data)
-        del ev_row  # frees cached row-domain evaluations (HBM pressure)
     _abort("r2")
 
     _phase("lookup permute+commit")
@@ -295,7 +463,6 @@ def create_proof(
 
     # --- round 3: permutation grand products -----------------------------
     m = len(cs.permutation_columns)
-    gamma_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [gamma]), (n, NUM_LIMBS))
     if ck and ck.has("r3"):
         st = ck.load("r3", transcript, ck_fp)
         perm_z_coeff = st["perm_z_coeff"]
@@ -303,44 +470,19 @@ def create_proof(
     else:
         _skip_r3 = False
     chunk = cs.permutation_chunk_len
-    omega_pows = power_table_for(BN254_FR, omega, n)
-    col_arrays = {"fixed": pk.fixed_lagrange, "advice": advice_lagrange, "instance": instance_lagrange}
-    perm_zs = []
-    last_z_end = None
-    for c0 in [] if _skip_r3 else range(0, m, chunk):
-        cols = cs.permutation_columns[c0 : c0 + chunk]
-        num = None
-        den = None
-        for off, col in enumerate(cols):
-            i = c0 + off
-            vals = col_arrays[col.kind][col.index]
-            bd = beta * pow(DELTA, i, R) % R
-            id_term = mont.mont_mul(
-                BN254_FR, omega_pows, jnp.broadcast_to(mont.encode_ints(BN254_FR, [bd]), (n, NUM_LIMBS))
-            )
-            nterm = mont.add(BN254_FR, mont.add(BN254_FR, vals, id_term), gamma_b)
-            sig = pk.sigma_lagrange[i]
-            sterm = mont.mont_mul(
-                BN254_FR, sig, jnp.broadcast_to(mont.encode_ints(BN254_FR, [beta]), (n, NUM_LIMBS))
-            )
-            dterm = mont.add(BN254_FR, mont.add(BN254_FR, vals, sterm), gamma_b)
-            num = nterm if num is None else mont.mont_mul(BN254_FR, num, nterm)
-            den = dterm if den is None else mont.mont_mul(BN254_FR, den, dterm)
-        ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den, u))
-        # rows >= u contribute nothing (z defined through row u)
-        onem = mont.one_mont(BN254_FR, (n,))
-        mask = (jnp.arange(n) < u)[:, None]
-        ratios = jnp.where(mask, ratios, onem)
-        z = _prefix_product_exclusive(ratios)
-        if last_z_end is not None:
-            # chain chunks: z_c starts at z_{c-1}(u)
-            start = jnp.broadcast_to(last_z_end, (n, NUM_LIMBS))
-            z = mont.mont_mul(BN254_FR, z, start)
-        last_z_end = z[u]
-        z = _blind(z, n, u, blinding_seed, b"permz%d" % (c0 // chunk))
-        perm_zs.append(z)
     if not _skip_r3:
-        perm_z_coeff = intt_many(BN254_FR, perm_zs)
+        if m:
+            n_chunks = -(-m // chunk)
+            blinds = [
+                _blind_vals(b"permz%d" % zi, n - u - 1) for zi in range(n_chunks)
+            ]
+            _, perm_z_coeff = _perm_z_program_for(pk)(
+                list(pk.fixed_lagrange), list(advice_lagrange),
+                list(instance_lagrange), list(pk.sigma_lagrange),
+                _enc1(beta), _enc1(gamma), blinds,
+            )
+        else:
+            perm_z_coeff = []
         for pt in params.commit_many(perm_z_coeff, mesh=mesh):
             transcript.write_point(pt)
         if ck:
@@ -358,31 +500,20 @@ def create_proof(
         _skip_r4 = True
     else:
         _skip_r4 = False
-    beta_b = jnp.broadcast_to(mont.encode_ints(BN254_FR, [beta]), (n, NUM_LIMBS))
-    for li, ld in [] if _skip_r4 else list(enumerate(lookup_data)):
-        num = mont.mont_mul(
-            BN254_FR,
-            mont.add(BN254_FR, ld["a"], beta_b),
-            mont.add(BN254_FR, ld["s"], gamma_b),
-        )
-        den = mont.mont_mul(
-            BN254_FR,
-            mont.add(BN254_FR, ld["a_perm"], beta_b),
-            mont.add(BN254_FR, ld["s_perm"], gamma_b),
-        )
-        ratios = mont.mont_mul(BN254_FR, num, _batch_inv(den, u))
-        onem = mont.one_mont(BN254_FR, (n,))
-        mask = (jnp.arange(n) < u)[:, None]
-        ratios = jnp.where(mask, ratios, onem)
-        z = _prefix_product_exclusive(ratios)
-        z = _blind(z, n, u, blinding_seed, b"lkz%d" % li)
-        ld["z"] = z
     if lookup_data and not _skip_r4:
-        z_coeffs = intt_many(BN254_FR, [ld["z"] for ld in lookup_data])
+        blinds = [
+            _blind_vals(b"lkz%d" % li, n - u - 1) for li in range(len(lookup_data))
+        ]
+        _, z_coeffs = _lookup_z_program_for(pk)(
+            [ld["a"] for ld in lookup_data], [ld["s"] for ld in lookup_data],
+            [ld["a_perm"] for ld in lookup_data],
+            [ld["s_perm"] for ld in lookup_data],
+            _enc1(beta), _enc1(gamma), blinds,
+        )
         for ld, zc in zip(lookup_data, z_coeffs):
             ld["z_coeff"] = zc
             # lagrange forms are no longer needed; free HBM before quotient
-            del ld["a"], ld["s"], ld["a_perm"], ld["s_perm"], ld["z"]
+            del ld["a"], ld["s"], ld["a_perm"], ld["s_perm"]
         for pt in params.commit_many(z_coeffs, mesh=mesh):
             transcript.write_point(pt)
         if ck:
@@ -521,6 +652,205 @@ def create_proof(
     return transcript.finalize()
 
 
+def _quotient_program_for(pk: ProvingKey):
+    """ONE jitted program for the whole quotient round (SURVEY.md §3.1
+    step 6), cached on the pk. Eagerly, the round is hundreds of dispatches
+    over (ext_n, L) arrays — each a separate executable launch (and, under
+    the axon tunnel, a remote round-trip). Challenges enter as traced (L,)
+    Montgomery arrays so the SAME compiled program serves every proof; the
+    static constraint structure (gate ASTs, permutation chunks, lookups)
+    is baked in at trace time from the ConstraintSystem."""
+    cs = pk.cs
+    domain = pk.domain
+    n = domain.n
+    ext_n = domain.extended_n
+    ratio = ext_n // n
+    u = cs.usable_rows(n)
+    m = len(cs.permutation_columns)
+    chunk = cs.permutation_chunk_len
+    num_pieces = cs.quotient_pieces()
+    # static per-column delta^i (Montgomery (L,) rows, closure constants)
+    delta_rows = [
+        mont.encode_ints(BN254_FR, [pow(DELTA, i, R)])[0] for i in range(max(m, 1))
+    ]
+    g_coset_row = mont.encode_ints(BN254_FR, [domain.g_coset])
+
+    def smul(a_row, b_row):  # (L,) x (L,) Montgomery scalar mul
+        return mont.mont_mul(BN254_FR, a_row[None], b_row[None])[0]
+
+    def bc(row):  # (L,) -> (ext_n, L)
+        return jnp.broadcast_to(row[None, :], (ext_n, NUM_LIMBS))
+
+    def run(fixed_ext, sigma_ext, l0, llast, lblind, zh_inv_ext,
+            advice_coeff, instance_lagrange, perm_z_coeff, lookup_coeffs,
+            theta_r, beta_r, gamma_r, y_r):
+        advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
+        instance_ext = [
+            domain.coeff_to_extended(intt(BN254_FR, i)) for i in instance_lagrange
+        ]
+        ev = Evaluator(
+            fixed_ext,
+            advice_ext,
+            instance_ext,
+            rot_scale=ratio,
+            challenges={"theta": theta_r},
+        )
+
+        one_ext = mont.one_mont(BN254_FR, (ext_n,))
+        active = mont.sub(BN254_FR, one_ext, mont.add(BN254_FR, llast, lblind))
+
+        acc = None
+        y_pow = [mont.one_mont(BN254_FR)]  # (L,) Montgomery running y^i
+
+        def add_constraint(vals):
+            nonlocal acc
+            term = mont.mont_mul(BN254_FR, vals, bc(y_pow[0]))
+            acc = term if acc is None else mont.add(BN254_FR, acc, term)
+            y_pow[0] = smul(y_pow[0], y_r)
+
+        # gates
+        for g in cs.gates:
+            for poly in g.polys:
+                add_constraint(ev.eval(poly))
+
+        # permutation constraints
+        if m:
+            zs_ext = [domain.coeff_to_extended(zc) for zc in perm_z_coeff]
+            # l_0 * (1 - z_0)
+            add_constraint(
+                mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, one_ext, zs_ext[0]))
+            )
+            # l_last * (z_last^2 - z_last)
+            zl = zs_ext[-1]
+            add_constraint(
+                mont.mont_mul(
+                    BN254_FR, llast,
+                    mont.sub(BN254_FR, mont.mont_mul(BN254_FR, zl, zl), zl),
+                )
+            )
+            # chunk chaining: l_0 * (z_c - z_{c-1}(w^u X))
+            for c in range(1, len(zs_ext)):
+                prev_rot = jnp.roll(zs_ext[c - 1], -u * ratio, axis=0)
+                add_constraint(
+                    mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, zs_ext[c], prev_rot))
+                )
+            # main: active * (z(wX) prod(col + beta sigma + gamma)
+            #                 - z prod(col + beta delta^i X + gamma))
+            col_arrays_ext = {
+                "fixed": fixed_ext,
+                "advice": advice_ext,
+                "instance": instance_ext,
+            }
+            xs = mont.mont_mul(
+                BN254_FR,
+                power_table_for(BN254_FR, domain.extended_omega, ext_n),
+                jnp.broadcast_to(g_coset_row, (ext_n, NUM_LIMBS)),
+            )
+            gamma_e = bc(gamma_r)
+            beta_e = bc(beta_r)
+            for ci, c0 in enumerate(range(0, m, chunk)):
+                cols = cs.permutation_columns[c0 : c0 + chunk]
+                z = zs_ext[ci]
+                z_next = jnp.roll(z, -ratio, axis=0)
+                left = z_next
+                right = z
+                for off, col in enumerate(cols):
+                    i = c0 + off
+                    vals = col_arrays_ext[col.kind][col.index]
+                    sig = sigma_ext[i]
+                    sterm = mont.mont_mul(BN254_FR, sig, beta_e)
+                    left = mont.mont_mul(
+                        BN254_FR, left,
+                        mont.add(BN254_FR, mont.add(BN254_FR, vals, sterm), gamma_e),
+                    )
+                    idterm = mont.mont_mul(
+                        BN254_FR, xs, bc(smul(beta_r, delta_rows[i]))
+                    )
+                    right = mont.mont_mul(
+                        BN254_FR, right,
+                        mont.add(BN254_FR, mont.add(BN254_FR, vals, idterm), gamma_e),
+                    )
+                add_constraint(
+                    mont.mont_mul(BN254_FR, active, mont.sub(BN254_FR, left, right))
+                )
+
+        # lookup constraints
+        if cs.lookups:
+            beta_e = bc(beta_r)
+            gamma_e = bc(gamma_r)
+            for lk, (z_coeff, ap_coeff, sp_coeff) in zip(cs.lookups, lookup_coeffs):
+                theta_pow = mont.one_mont(BN254_FR)
+                a_comp = None
+                s_comp = None
+                for e_in, e_tb in zip(lk.inputs, lk.tables):
+                    ai = ev.eval(e_in)
+                    si = ev.eval(e_tb)
+                    tp = bc(theta_pow)
+                    a_term = mont.mont_mul(BN254_FR, ai, tp)
+                    s_term = mont.mont_mul(BN254_FR, si, tp)
+                    a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
+                    s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
+                    theta_pow = smul(theta_pow, theta_r)
+                z_ext = domain.coeff_to_extended(z_coeff)
+                ap_ext = domain.coeff_to_extended(ap_coeff)
+                sp_ext = domain.coeff_to_extended(sp_coeff)
+                z_next = jnp.roll(z_ext, -ratio, axis=0)
+                ap_prev = jnp.roll(ap_ext, ratio, axis=0)
+                # l_0 * (1 - z)
+                add_constraint(
+                    mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, one_ext, z_ext))
+                )
+                # l_last * (z^2 - z)
+                add_constraint(
+                    mont.mont_mul(
+                        BN254_FR, llast,
+                        mont.sub(BN254_FR, mont.mont_mul(BN254_FR, z_ext, z_ext), z_ext),
+                    )
+                )
+                # active * (z(wX)(A'+beta)(S'+gamma) - z(X)(A+beta)(S+gamma))
+                lhs = mont.mont_mul(
+                    BN254_FR, z_next,
+                    mont.mont_mul(
+                        BN254_FR,
+                        mont.add(BN254_FR, ap_ext, beta_e),
+                        mont.add(BN254_FR, sp_ext, gamma_e),
+                    ),
+                )
+                rhs = mont.mont_mul(
+                    BN254_FR, z_ext,
+                    mont.mont_mul(
+                        BN254_FR,
+                        mont.add(BN254_FR, a_comp, beta_e),
+                        mont.add(BN254_FR, s_comp, gamma_e),
+                    ),
+                )
+                add_constraint(
+                    mont.mont_mul(BN254_FR, active, mont.sub(BN254_FR, lhs, rhs))
+                )
+                # l_0 * (A' - S')
+                add_constraint(
+                    mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, ap_ext, sp_ext))
+                )
+                # active * (A' - S') * (A' - A'(w^-1 X))
+                add_constraint(
+                    mont.mont_mul(
+                        BN254_FR, active,
+                        mont.mont_mul(
+                            BN254_FR,
+                            mont.sub(BN254_FR, ap_ext, sp_ext),
+                            mont.sub(BN254_FR, ap_ext, ap_prev),
+                        ),
+                    )
+                )
+
+        # divide by Z_H and split
+        h_ext = mont.mont_mul(BN254_FR, acc, zh_inv_ext)
+        h_coeff = domain.extended_to_coeff(h_ext)
+        return [h_coeff[i * n : (i + 1) * n] for i in range(num_pieces)]
+
+    return jax.jit(run)
+
+
 def _compute_quotient(
     pk: ProvingKey,
     advice_coeff,
@@ -533,187 +863,20 @@ def _compute_quotient(
     y: int,
 ):
     """Evaluate sum_i y^i * constraint_i on the extended coset, divide by Z_H,
-    return quotient pieces (coefficient form, n each)."""
-    cs = pk.cs
-    domain = pk.domain
-    n = domain.n
-    ext_n = domain.extended_n
-    ratio = ext_n // n
-    u = cs.usable_rows(n)
-
-    advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
-    instance_ext = [
-        domain.coeff_to_extended(intt(BN254_FR, i)) for i in instance_lagrange
+    return quotient pieces (coefficient form, n each). Runs as ONE compiled
+    program (see _quotient_program_for)."""
+    fn = getattr(pk, "_quotient_jit", None)
+    if fn is None:
+        fn = _quotient_program_for(pk)
+        pk._quotient_jit = fn
+    enc1 = lambda v: mont.encode_ints(BN254_FR, [v % R])[0]
+    lookup_coeffs = [
+        (ld["z_coeff"], ld["a_perm_coeff"], ld["s_perm_coeff"]) for ld in lookup_data
     ]
-    ev = Evaluator(
-        pk.fixed_extended,
-        advice_ext,
-        instance_ext,
-        rot_scale=ratio,
-        challenges={"theta": theta},
+    pieces = fn(
+        list(pk.fixed_extended), list(pk.sigma_extended), pk.l0_ext, pk.llast_ext,
+        pk.lblind_ext, pk.zh_inv_ext, list(advice_coeff), list(instance_lagrange),
+        list(perm_z_coeff), lookup_coeffs,
+        enc1(theta), enc1(beta), enc1(gamma), enc1(y),
     )
-
-    enc = lambda v: jnp.broadcast_to(mont.encode_ints(BN254_FR, [v % R]), (ext_n, NUM_LIMBS))
-    one_ext = mont.one_mont(BN254_FR, (ext_n,))
-    l0 = pk.l0_ext
-    llast = pk.llast_ext
-    lblind = pk.lblind_ext
-    active = mont.sub(BN254_FR, one_ext, mont.add(BN254_FR, llast, lblind))
-
-    acc = None
-    y_pow_holder = [1]
-
-    def add_constraint(vals):
-        nonlocal acc
-        yp = enc(y_pow_holder[0])
-        term = mont.mont_mul(BN254_FR, vals, yp)
-        acc = term if acc is None else mont.add(BN254_FR, acc, term)
-        y_pow_holder[0] = y_pow_holder[0] * y % R
-
-    # gates
-    for g in cs.gates:
-        for poly in g.polys:
-            add_constraint(ev.eval(poly))
-
-    # permutation constraints
-    m = len(cs.permutation_columns)
-    if m:
-        chunk = cs.permutation_chunk_len
-        # extended evals of z polys
-        zs_ext = [domain.coeff_to_extended(zc) for zc in perm_z_coeff]
-        # l_0 * (1 - z_0)
-        add_constraint(
-            mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, one_ext, zs_ext[0]))
-        )
-        # l_last * (z_last^2 - z_last)
-        zl = zs_ext[-1]
-        add_constraint(
-            mont.mont_mul(
-                BN254_FR, llast, mont.sub(BN254_FR, mont.mont_mul(BN254_FR, zl, zl), zl)
-            )
-        )
-        # chunk chaining: l_0 * (z_c - z_{c-1}(w^u X))
-        for c in range(1, len(zs_ext)):
-            prev_rot = jnp.roll(zs_ext[c - 1], -u * ratio, axis=0)
-            add_constraint(
-                mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, zs_ext[c], prev_rot))
-            )
-        # main: active * (z(wX) prod(col + beta sigma + gamma) - z prod(col + beta delta^i X + gamma))
-        # identity evals on extended coset: delta^i * (g_coset * w_ext^j)
-        coset_pows = None
-        col_arrays_ext = {
-            "fixed": pk.fixed_extended,
-            "advice": advice_ext,
-            "instance": instance_ext,
-        }
-        # X values over extended coset
-        xs = mont.mont_mul(
-            BN254_FR,
-            power_table_for(BN254_FR, domain.extended_omega, ext_n),
-            jnp.broadcast_to(mont.encode_ints(BN254_FR, [domain.g_coset]), (ext_n, NUM_LIMBS)),
-        )
-        gamma_e = enc(gamma)
-        for ci, c0 in enumerate(range(0, m, chunk)):
-            cols = cs.permutation_columns[c0 : c0 + chunk]
-            z = zs_ext[ci]
-            z_next = jnp.roll(z, -ratio, axis=0)
-            left = z_next
-            right = z
-            for off, col in enumerate(cols):
-                i = c0 + off
-                vals = col_arrays_ext[col.kind][col.index]
-                sig = pk.sigma_extended[i]
-                sterm = mont.mont_mul(BN254_FR, sig, enc(beta))
-                left = mont.mont_mul(
-                    BN254_FR,
-                    left,
-                    mont.add(BN254_FR, mont.add(BN254_FR, vals, sterm), gamma_e),
-                )
-                idterm = mont.mont_mul(BN254_FR, xs, enc(beta * pow(DELTA, i, R) % R))
-                right = mont.mont_mul(
-                    BN254_FR,
-                    right,
-                    mont.add(BN254_FR, mont.add(BN254_FR, vals, idterm), gamma_e),
-                )
-            add_constraint(
-                mont.mont_mul(BN254_FR, active, mont.sub(BN254_FR, left, right))
-            )
-
-    # lookup constraints
-    if lookup_data:
-        ev_theta = ev
-        beta_e = enc(beta)
-        gamma_e = enc(gamma)
-        for li, (lk, ld) in enumerate(zip(cs.lookups, lookup_data)):
-            theta_pow = 1
-            a_comp = None
-            s_comp = None
-            for e_in, e_tb in zip(lk.inputs, lk.tables):
-                ai = ev_theta.eval(e_in)
-                si = ev_theta.eval(e_tb)
-                tp = enc(theta_pow)
-                a_term = mont.mont_mul(BN254_FR, ai, tp)
-                s_term = mont.mont_mul(BN254_FR, si, tp)
-                a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
-                s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
-                theta_pow = theta_pow * theta % R
-            z_ext = domain.coeff_to_extended(ld["z_coeff"])
-            ap_ext = domain.coeff_to_extended(ld["a_perm_coeff"])
-            sp_ext = domain.coeff_to_extended(ld["s_perm_coeff"])
-            z_next = jnp.roll(z_ext, -ratio, axis=0)
-            ap_prev = jnp.roll(ap_ext, ratio, axis=0)
-            # l_0 * (1 - z)
-            add_constraint(mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, one_ext, z_ext)))
-            # l_last * (z^2 - z)
-            add_constraint(
-                mont.mont_mul(
-                    BN254_FR,
-                    llast,
-                    mont.sub(BN254_FR, mont.mont_mul(BN254_FR, z_ext, z_ext), z_ext),
-                )
-            )
-            # active * (z(wX)(A'+beta)(S'+gamma) - z(X)(A+beta)(S+gamma))
-            lhs = mont.mont_mul(
-                BN254_FR,
-                z_next,
-                mont.mont_mul(
-                    BN254_FR,
-                    mont.add(BN254_FR, ap_ext, beta_e),
-                    mont.add(BN254_FR, sp_ext, gamma_e),
-                ),
-            )
-            rhs = mont.mont_mul(
-                BN254_FR,
-                z_ext,
-                mont.mont_mul(
-                    BN254_FR,
-                    mont.add(BN254_FR, a_comp, beta_e),
-                    mont.add(BN254_FR, s_comp, gamma_e),
-                ),
-            )
-            add_constraint(mont.mont_mul(BN254_FR, active, mont.sub(BN254_FR, lhs, rhs)))
-            # l_0 * (A' - S')
-            add_constraint(
-                mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, ap_ext, sp_ext))
-            )
-            # active * (A' - S') * (A' - A'(w^-1 X))
-            add_constraint(
-                mont.mont_mul(
-                    BN254_FR,
-                    active,
-                    mont.mont_mul(
-                        BN254_FR,
-                        mont.sub(BN254_FR, ap_ext, sp_ext),
-                        mont.sub(BN254_FR, ap_ext, ap_prev),
-                    ),
-                )
-            )
-
-    # divide by Z_H and split
-    h_ext = mont.mont_mul(BN254_FR, acc, pk.zh_inv_ext)
-    h_coeff = domain.extended_to_coeff(h_ext)
-    pieces = []
-    num_pieces = cs.quotient_pieces()
-    for i in range(num_pieces):
-        pieces.append(h_coeff[i * n : (i + 1) * n])
     return pieces, None

@@ -24,6 +24,22 @@ def power_table_for(params: FieldParams, x: int, n: int) -> jax.Array:
     return _doubling_table(params, x, log_n)[:n]
 
 
+def power_table_row(params: FieldParams, x_row: jax.Array, n: int) -> jax.Array:
+    """[x^0 .. x^(n-1)] Montgomery from a TRACED (L,) Montgomery base —
+    same doubling construction as power_table_for, but usable inside a jit
+    where the base is a per-proof challenge value rather than a host int."""
+    from ..fields import mont
+
+    log_n = max((n - 1).bit_length(), 1)
+    tab = mont.one_mont(params, (1,))
+    cur = x_row
+    for _ in range(log_n):
+        shift = jnp.broadcast_to(cur[None, :], tab.shape)
+        tab = jnp.concatenate([tab, mont.mont_mul(params, tab, shift)], axis=0)
+        cur = mont.mont_mul(params, cur[None], cur[None])[0]
+    return tab[:n]
+
+
 @partial(jax.jit, static_argnums=0)
 def batched_sum(params: FieldParams, a: jax.Array) -> jax.Array:
     """Field-sum over the leading axis: (n, ..., L) -> (..., L), log-depth."""
