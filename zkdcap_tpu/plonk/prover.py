@@ -31,7 +31,7 @@ from ..commit.shplonk import ProverQuery, shplonk_open
 from ..fields import BN254_FR, mont
 from ..fields.params import NUM_LIMBS
 from ..ntt import intt, intt_many
-from ..poly.ops import poly_eval_many, power_table_for
+from ..poly.ops import batched_sum, power_table_for, power_table_row
 from ..transcript import TranscriptWriter
 from .cs import ConstraintSystem
 from .expression import Challenge, Evaluator, Expression
@@ -289,6 +289,120 @@ def _lookup_z_program_for(pk: ProvingKey):
         return jax.jit(run)
 
     return _pk_program(pk, "lookup_z", builder)
+
+
+def _evals_query_plan(cs: ConstraintSystem, n: int):
+    """Static (label, rotation) query set for round 7, grouped by rotation.
+    Mirrors (and must stay in lockstep with) the host-side ProverQuery list
+    built in create_proof — minus the h query, whose value the verifier
+    derives itself. Returns (groups: rot -> [labels], rot_list)."""
+    u = cs.usable_rows(n)
+    m = len(cs.permutation_columns)
+    chunk = cs.permutation_chunk_len
+    n_z = -(-m // chunk) if m else 0
+    adv_q, fix_q, _ = collect_queries(cs)
+    entries: list[tuple[str, int]] = []
+    for ci, rot in adv_q:
+        entries.append((f"advice{ci}", rot))
+    for ci, rot in fix_q:
+        entries.append((f"fixed{ci}", rot))
+    entries.append(("random", 0))
+    for i in range(m):
+        entries.append((f"sigma{i}", 0))
+    for c in range(n_z):
+        entries.append((f"permz{c}", 0))
+        entries.append((f"permz{c}", 1))
+        if c + 1 < n_z:
+            entries.append((f"permz{c}", u))
+    for li in range(len(cs.lookups)):
+        entries.extend(
+            [(f"lkz{li}", 0), (f"lkz{li}", 1),
+             (f"lkA{li}", 0), (f"lkA{li}", -1), (f"lkS{li}", 0)]
+        )
+    seen: set[tuple[str, int]] = set()
+    groups: dict[int, list[str]] = {}
+    for label, rot in entries:
+        if (label, rot) in seen:
+            continue
+        seen.add((label, rot))
+        groups.setdefault(rot, []).append(label)
+    return groups, sorted(groups)
+
+
+def _evals_program_for(pk: ProvingKey):
+    """Round-7 evaluations as ONE jitted program: h-piece combination and
+    every opening evaluation sum_i c_i (x w^rot)^i, with x traced. Eagerly
+    this round rebuilt a doubling power table per distinct point with the
+    challenge baked in as a static constant — a fresh XLA compile on EVERY
+    proof (the per-proof 'evals' phase cost was dominated by compiles, not
+    math). Here (x w^rot)^i = x^i * (w^rot)^i: one traced-base table plus a
+    static per-rotation table."""
+    cs = pk.cs
+    domain = pk.domain
+    n = domain.n
+    m = len(cs.permutation_columns)
+    adv_q, fix_q, _ = collect_queries(cs)
+    n_lk = len(cs.lookups)
+    chunk = cs.permutation_chunk_len
+    n_z = -(-m // chunk) if m else 0
+    groups, rot_list = _evals_query_plan(cs, n)
+
+    def builder(_pk):
+        def run(fixed_coeff, advice_coeff, sigma_coeff, random_poly,
+                perm_z_coeff, lookup_coeffs, h_pieces, x_row):
+            arrs = {"random": random_poly}
+            for ci, _ in adv_q:
+                arrs[f"advice{ci}"] = advice_coeff[ci]
+            for ci, _ in fix_q:
+                arrs[f"fixed{ci}"] = fixed_coeff[ci]
+            for i in range(m):
+                arrs[f"sigma{i}"] = sigma_coeff[i]
+            for c in range(n_z):
+                arrs[f"permz{c}"] = perm_z_coeff[c]
+            for li in range(n_lk):
+                zc, ap, sp = lookup_coeffs[li]
+                arrs[f"lkz{li}"] = zc
+                arrs[f"lkA{li}"] = ap
+                arrs[f"lkS{li}"] = sp
+
+            xpow = power_table_row(BN254_FR, x_row, n + 1)  # x^0 .. x^n
+            xn_row = xpow[n]
+            # combined h poly: sum_i x^{n i} h_i
+            h_combined = h_pieces[0]
+            xni = xn_row
+            for piece in h_pieces[1:]:
+                h_combined = mont.add(
+                    BN254_FR, h_combined,
+                    mont.mont_mul(
+                        BN254_FR, piece,
+                        jnp.broadcast_to(xni[None, :], piece.shape),
+                    ),
+                )
+                xni = mont.mont_mul(BN254_FR, xni[None], xn_row[None])[0]
+
+            out = []
+            for rot in rot_list:
+                pows = xpow[:n]
+                if rot:
+                    w_rot = (
+                        pow(domain.omega, rot, R)
+                        if rot > 0
+                        else pow(domain.omega_inv, -rot, R)
+                    )
+                    pows = mont.mont_mul(
+                        BN254_FR, pows, power_table_for(BN254_FR, w_rot, n)
+                    )
+                stacked = jnp.stack([arrs[lb] for lb in groups[rot]], axis=1)
+                terms = mont.mont_mul(
+                    BN254_FR, stacked,
+                    jnp.broadcast_to(pows[:, None, :], stacked.shape),
+                )
+                out.append(mont.from_mont(BN254_FR, batched_sum(BN254_FR, terms)))
+            return h_combined, out
+
+        return jax.jit(run)
+
+    return _pk_program(pk, "evals", builder), groups, rot_list
 
 
 def create_proof(
@@ -556,27 +670,32 @@ def create_proof(
     x = transcript.squeeze_challenge()
 
     # --- round 7: evaluations --------------------------------------------
-    xn = pow(x, n, R)
     queries: list[ProverQuery] = []
-    evals_to_write: list[int] = []
 
     def q(name, poly, point):
         queries.append(ProverQuery(name, poly, point))
-
-    # combined h poly: sum x^{n i} h_i
-    h_combined = None
-    xni = 1
-    for i, piece in enumerate(h_pieces):
-        term = mont.mont_mul(
-            BN254_FR, piece, jnp.broadcast_to(mont.encode_ints(BN254_FR, [xni]), piece.shape)
-        )
-        h_combined = term if h_combined is None else mont.add(BN254_FR, h_combined, term)
-        xni = xni * xn % R
 
     def point_at(rot: int) -> int:
         if rot >= 0:
             return x * pow(omega, rot, R) % R
         return x * pow(domain.omega_inv, -rot, R) % R
+
+    # one jitted program per pk: h combination + every opening evaluation
+    ev_fn, ev_groups, ev_rots = _evals_program_for(pk)
+    lookup_coeffs = [
+        (ld["z_coeff"], ld["a_perm_coeff"], ld["s_perm_coeff"]) for ld in lookup_data
+    ]
+    h_combined, eval_arrays = ev_fn(
+        list(pk.fixed_coeff), list(advice_coeff), list(pk.sigma_coeff),
+        random_poly, list(perm_z_coeff), lookup_coeffs, list(h_pieces),
+        _enc1(x),
+    )
+    eval_cache = {}
+    for rot, arr in zip(ev_rots, eval_arrays):
+        pt = point_at(rot)
+        vals = mont.decode_ints(BN254_FR, arr, from_montgomery=False)
+        for label, v in zip(ev_groups[rot], vals):
+            eval_cache[(label, pt)] = v
 
     # advice evals
     for (ci, rot) in adv_q:
@@ -605,30 +724,8 @@ def create_proof(
         q(f"lkA{li}", ld["a_perm_coeff"], point_at(-1))
         q(f"lkS{li}", ld["s_perm_coeff"], x)
 
-    # evaluate and write all evals except h (verifier derives expected h(x))
+    # write all evals except h (verifier derives expected h(x))
     seen = set()
-    eval_cache = {}
-    # batch-evaluate grouped by point for device efficiency
-    from collections import defaultdict
-
-    by_point: dict[int, list] = defaultdict(list)
-    for pq in queries:
-        key = (pq.name, pq.point % R)
-        by_point[pq.point % R].append((key, pq.poly))
-    for pt, items in by_point.items():
-        names = []
-        polys = []
-        dedup = set()
-        for key, poly in items:
-            if key in dedup:
-                continue
-            dedup.add(key)
-            names.append(key)
-            polys.append(poly)
-        vals = poly_eval_many(BN254_FR, polys, pt)
-        for key, v in zip(names, vals):
-            eval_cache[key] = v
-
     for pq in queries:
         key = (pq.name, pq.point % R)
         if key in seen:
