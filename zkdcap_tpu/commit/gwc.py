@@ -20,13 +20,61 @@ Proof size: one G1 point per distinct query point (the PLONK pipeline has
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
 from ..curves.host_curve import BN254_G1
 from ..curves.pairing import pairing_product_is_one
 from ..fields import BN254_FR, mont
-from ..poly.ops import divide_by_linear, poly_add, poly_eval, poly_scale
+from ..fields.params import NUM_LIMBS
+from ..poly.ops import divide_by_linear_row, poly_eval
 from .kzg import ParamsKZG
 
 R = BN254_FR.p
+
+
+def _enc1(v: int) -> jax.Array:
+    return mont.encode_ints(BN254_FR, [v % R])[0]
+
+
+_GWC_PROGRAMS: dict = {}
+
+
+def _gwc_program(sig: tuple):
+    """One jitted program for every witness quotient, cached on structure
+    (poly length, #names per point group); v and the points are traced so
+    one compile serves every proof (same rationale as shplonk's programs)."""
+    fn = _GWC_PROGRAMS.get(sig)
+    if fn is not None:
+        return fn
+    n, group_sizes = sig
+
+    def bc(row):
+        return jnp.broadcast_to(row[None, :], (n, NUM_LIMBS))
+
+    def smul(a_row, b_row):
+        return mont.mont_mul(BN254_FR, a_row[None], b_row[None])[0]
+
+    def run(polys_flat, e_rows, pt_rows, ptinv_rows, v_row):
+        ws = []
+        idx = 0
+        for gi, n_names in enumerate(group_sizes):
+            comb = None
+            v_pow = mont.one_mont(BN254_FR)
+            for _ in range(n_names):
+                term = mont.mont_mul(BN254_FR, polys_flat[idx], bc(v_pow))
+                comb = term if comb is None else mont.add(BN254_FR, comb, term)
+                v_pow = smul(v_pow, v_row)
+                idx += 1
+            comb = comb.at[0].set(mont.sub(BN254_FR, comb[0], e_rows[gi]))
+            ws.append(
+                divide_by_linear_row(BN254_FR, comb, pt_rows[gi], ptinv_rows[gi])
+            )
+        return ws
+
+    fn = jax.jit(run)
+    _GWC_PROGRAMS[sig] = fn
+    return fn
 
 
 def _group_by_point(queries):
@@ -43,29 +91,44 @@ def _group_by_point(queries):
     return [(pt, names[pt]) for pt in order]
 
 
-def gwc_open(params: ParamsKZG, transcript, queries, mesh=None):
+def gwc_open(params: ParamsKZG, transcript, queries, mesh=None,
+             evals: dict[tuple[str, int], int] | None = None):
+    """`evals` (name, point) -> claimed value: pass the prover's round-7
+    eval cache to skip re-evaluating every poly; None recomputes."""
     polys = {}
-    evals: dict[tuple[str, int], int] = {}
     for q in queries:
         polys[q.name] = q.poly
-        key = (q.name, q.point % R)
-        if key not in evals:
-            evals[key] = poly_eval(BN254_FR, q.poly, q.point)
+    if evals is None:
+        evals = {}
+        for q in queries:
+            key = (q.name, q.point % R)
+            if key not in evals:
+                evals[key] = poly_eval(BN254_FR, q.poly, q.point)
+
+    groups = _group_by_point(queries)
+    n = max(polys[name].shape[0] for name in polys)
+    for name, p in polys.items():
+        if p.shape[0] < n:
+            polys[name] = jnp.concatenate(
+                [p, jnp.zeros((n - p.shape[0], NUM_LIMBS), jnp.uint32)]
+            )
 
     v = transcript.squeeze_challenge()
-    for pt, names in _group_by_point(queries):
-        comb = None
+    run = _gwc_program((n, tuple(len(names) for _, names in groups)))
+    polys_flat, e_rows, pt_rows, ptinv_rows = [], [], [], []
+    for pt, names in groups:
         e_comb = 0
         v_pow = 1
         for name in names:
-            term = poly_scale(BN254_FR, polys[name], v_pow)
-            comb = term if comb is None else poly_add(BN254_FR, comb, term)
+            polys_flat.append(polys[name])
             e_comb = (e_comb + v_pow * evals[(name, pt)]) % R
             v_pow = v_pow * v % R
-        const = mont.encode_ints(BN254_FR, [e_comb])[0]
-        comb = comb.at[0].set(mont.sub(BN254_FR, comb[0], const))
-        w = divide_by_linear(BN254_FR, comb, pt)
-        transcript.write_point(params.commit(w, mesh=mesh))
+        e_rows.append(_enc1(e_comb))
+        pt_rows.append(_enc1(pt))
+        ptinv_rows.append(_enc1(pow(pt, -1, R)))
+    ws = run(polys_flat, e_rows, pt_rows, ptinv_rows, _enc1(v))
+    for w_pt in params.commit_many(ws, mesh=mesh):
+        transcript.write_point(w_pt)
 
 
 def gwc_verify(params: ParamsKZG, transcript, queries) -> bool:

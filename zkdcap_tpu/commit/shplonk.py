@@ -31,11 +31,15 @@ from ..curves.host_curve import BN254_G1
 from ..curves.pairing import G2_GEN, pairing_product_is_one
 from ..fields import BN254_FR, mont
 from ..fields.params import NUM_LIMBS
-from ..poly.ops import divide_by_linear, poly_eval, poly_scale, poly_sub, poly_add
+from ..poly.ops import divide_by_linear_row, poly_eval
 from ..transcript import TranscriptReader, TranscriptWriter
 from .kzg import ParamsKZG
 
 R = BN254_FR.p
+
+
+def _enc1(v: int) -> jax.Array:
+    return mont.encode_ints(BN254_FR, [v % R])[0]
 
 
 @dataclasses.dataclass
@@ -96,81 +100,140 @@ def _group_rotation_sets(queries):
     return list(sets.items())
 
 
+_OPEN_PROGRAMS: dict = {}
+
+
+def _shplonk_programs(sig: tuple):
+    """Two jitted programs for the open (split by the u squeeze barrier),
+    cached on the STRUCTURE of the rotation sets — (poly length, per-set
+    (#points, #names)) — so one compile serves every proof for a given
+    circuit shape. All challenges/points enter as traced (L,) Montgomery
+    rows; eagerly each divide_by_linear baked its per-proof point into a
+    doubling-table program constant (two fresh XLA compiles per division
+    per proof, the dominant multiopen cost)."""
+    progs = _OPEN_PROGRAMS.get(sig)
+    if progs is not None:
+        return progs
+    n, set_sigs = sig
+
+    def smul(a_row, b_row):
+        return mont.mont_mul(BN254_FR, a_row[None], b_row[None])[0]
+
+    def bc(row):
+        return jnp.broadcast_to(row[None, :], (n, NUM_LIMBS))
+
+    def run_h(polys_flat, r_devs, pts_rows, ptsinv_rows, y_row, v_row):
+        # H = sum_k v^k * (Q_k - R_k) / Z_{S_k};  Q_k = sum_j y^j f_j
+        combs = []
+        h_total = None
+        v_pow = mont.one_mont(BN254_FR)
+        idx = 0
+        for si, (n_pts, n_names) in enumerate(set_sigs):
+            comb = None
+            y_pow = mont.one_mont(BN254_FR)
+            for _ in range(n_names):
+                term = mont.mont_mul(BN254_FR, polys_flat[idx], bc(y_pow))
+                comb = term if comb is None else mont.add(BN254_FR, comb, term)
+                y_pow = smul(y_pow, y_row)
+                idx += 1
+            combs.append(comb)
+            numer = comb.at[:n_pts].set(
+                mont.sub(BN254_FR, comb[:n_pts], r_devs[si])
+            )
+            for pj in range(n_pts):
+                numer = divide_by_linear_row(
+                    BN254_FR, numer, pts_rows[si][pj], ptsinv_rows[si][pj]
+                )
+            term = mont.mont_mul(BN254_FR, numer, bc(v_pow))
+            h_total = term if h_total is None else mont.add(BN254_FR, h_total, term)
+            v_pow = smul(v_pow, v_row)
+        return h_total, combs
+
+    def run_w(combs, h_total, r_u_rows, scale_rows, z_t_u_row, u_row, uinv_row):
+        # L(X) = sum_k v^k Z_{T\S_k}(u) (Q_k(X) - R_k(u)) - Z_T(u) H(X);
+        # scale_rows already carry v^k Z_{T\S_k}(u) (host scalar work)
+        L = None
+        for comb, r_u, sc in zip(combs, r_u_rows, scale_rows):
+            comb = comb.at[0].set(mont.sub(BN254_FR, comb[0], r_u))
+            term = mont.mont_mul(BN254_FR, comb, bc(sc))
+            L = term if L is None else mont.add(BN254_FR, L, term)
+        L = mont.sub(BN254_FR, L, mont.mont_mul(BN254_FR, h_total, bc(z_t_u_row)))
+        return divide_by_linear_row(BN254_FR, L, u_row, uinv_row)
+
+    progs = (jax.jit(run_h), jax.jit(run_w))
+    _OPEN_PROGRAMS[sig] = progs
+    return progs
+
+
 def shplonk_open(params: ParamsKZG, transcript: TranscriptWriter, queries: list[ProverQuery],
-                 mesh=None):
+                 mesh=None, evals: dict[tuple[str, int], int] | None = None):
+    """`evals` (name, point) -> claimed value: pass the prover's round-7
+    eval cache to skip re-evaluating every poly; None recomputes (direct
+    library callers)."""
     polys = {}
-    evals: dict[tuple[str, int], int] = {}
     for q in queries:
         polys[q.name] = q.poly
-        key = (q.name, q.point % R)
-        if key not in evals:
-            evals[key] = poly_eval(BN254_FR, q.poly, q.point)
+    if evals is None:
+        evals = {}
+        for q in queries:
+            key = (q.name, q.point % R)
+            if key not in evals:
+                evals[key] = poly_eval(BN254_FR, q.poly, q.point)
 
     rot_sets = _group_rotation_sets(queries)
+    n = max(polys[name].shape[0] for name in polys)
+    for name, p in polys.items():
+        if p.shape[0] < n:
+            polys[name] = jnp.concatenate(
+                [p, jnp.zeros((n - p.shape[0], NUM_LIMBS), jnp.uint32)]
+            )
 
     y = transcript.squeeze_challenge()
     v = transcript.squeeze_challenge()
 
-    # H = sum_k v^k * (Q_k - R_k) / Z_{S_k}
-    h_total = None
-    vk_pow = 1
-    per_set = []  # (points, names, r_coeffs per name)
+    set_sigs = tuple((len(ps), len(names)) for ps, names in rot_sets)
+    run_h, run_w = _shplonk_programs((n, set_sigs))
+
+    per_set = []  # (points, names, r_comb)
+    polys_flat, r_devs, pts_rows, ptsinv_rows = [], [], [], []
     for point_set, names in rot_sets:
         points = sorted(point_set)
-        # Q_k = sum_j y^j f_j ; R_k = sum_j y^j r_j
-        comb = None
-        y_pow = 1
         r_comb = [0] * len(points)
+        y_pow = 1
         for name in names:
-            term = poly_scale(BN254_FR, polys[name], y_pow)
-            comb = term if comb is None else poly_add(BN254_FR, comb, term)
+            polys_flat.append(polys[name])
             r = _lagrange_interpolate(points, [evals[(name, pt)] for pt in points])
             r_comb = [(a + y_pow * b) % R for a, b in zip(r_comb, r)]
             y_pow = y_pow * y % R
         per_set.append((points, names, r_comb))
-        # numer = Q_k - R_k (vanishes on S_k)
-        r_dev = mont.encode_ints(BN254_FR, r_comb)
-        numer = poly_sub(BN254_FR, comb, r_dev)
-        for pt in points:
-            numer = divide_by_linear(BN254_FR, numer, pt)
-        term = poly_scale(BN254_FR, numer, vk_pow)
-        h_total = term if h_total is None else poly_add(BN254_FR, h_total, term)
-        vk_pow = vk_pow * v % R
+        r_devs.append(mont.encode_ints(BN254_FR, r_comb))
+        pts_rows.append([_enc1(pt) for pt in points])
+        ptsinv_rows.append([_enc1(pow(pt, -1, R)) for pt in points])
 
+    h_total, combs = run_h(polys_flat, r_devs, pts_rows, ptsinv_rows,
+                           _enc1(y), _enc1(v))
     h_commit = params.commit(h_total, mesh=mesh)
     transcript.write_point(h_commit)
     u = transcript.squeeze_challenge()
 
-    # all distinct points
+    # host scalar bookkeeping: Z_T(u), per-set v^k Z_{T\S_k}(u), R_k(u)
     t_points = sorted({pt for s, _, _ in per_set for pt in s})
     z_t_u = 1
     for pt in t_points:
         z_t_u = z_t_u * (u - pt) % R
-
-    # L(X) = sum_k v^k Z_{T\S_k}(u) (Q_k(X) - R_k(u)) - Z_T(u) H(X)
-    L = None
+    scale_rows, r_u_rows = [], []
     vk_pow = 1
     for points, names, r_comb in per_set:
         z_other = 1
         for pt in t_points:
             if pt not in points:
                 z_other = z_other * (u - pt) % R
-        scale = vk_pow * z_other % R
-        comb = None
-        y_pow = 1
-        for name in names:
-            term = poly_scale(BN254_FR, polys[name], y_pow)
-            comb = term if comb is None else poly_add(BN254_FR, comb, term)
-            y_pow = y_pow * y % R
-        r_u = _eval_host(r_comb, u)
-        const = mont.encode_ints(BN254_FR, [r_u])[0]
-        comb = comb.at[0].set(mont.sub(BN254_FR, comb[0], const))
-        term = poly_scale(BN254_FR, comb, scale)
-        L = term if L is None else poly_add(BN254_FR, L, term)
+        scale_rows.append(_enc1(vk_pow * z_other % R))
+        r_u_rows.append(_enc1(_eval_host(r_comb, u)))
         vk_pow = vk_pow * v % R
-    L = poly_sub(BN254_FR, L, poly_scale(BN254_FR, h_total, z_t_u))
 
-    W = divide_by_linear(BN254_FR, L, u)
+    W = run_w(combs, h_total, r_u_rows, scale_rows, _enc1(z_t_u),
+              _enc1(u), _enc1(pow(u, -1, R)))
     w_commit = params.commit(W, mesh=mesh)
     transcript.write_point(w_commit)
 

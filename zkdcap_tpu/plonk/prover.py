@@ -309,6 +309,9 @@ def _evals_query_plan(cs: ConstraintSystem, n: int):
     entries.append(("random", 0))
     for i in range(m):
         entries.append((f"sigma{i}", 0))
+    # h's eval is NOT written to the transcript (the verifier derives it),
+    # but the multiopen needs it for the R_k interpolations
+    entries.append(("h", 0))
     for c in range(n_z):
         entries.append((f"permz{c}", 0))
         entries.append((f"permz{c}", 1))
@@ -379,6 +382,7 @@ def _evals_program_for(pk: ProvingKey):
                     ),
                 )
                 xni = mont.mont_mul(BN254_FR, xni[None], xn_row[None])[0]
+            arrs["h"] = h_combined
 
             out = []
             for rot in rot_list:
@@ -740,9 +744,9 @@ def create_proof(
     if multiopen == "gwc":
         from ..commit.gwc import gwc_open
 
-        gwc_open(params, transcript, queries, mesh=mesh)
+        gwc_open(params, transcript, queries, mesh=mesh, evals=eval_cache)
     else:
-        shplonk_open(params, transcript, queries, mesh=mesh)
+        shplonk_open(params, transcript, queries, mesh=mesh, evals=eval_cache)
     _phase("multiopen")
     if ck:
         ck.clear()  # consumed: a finished proof leaves no resume state

@@ -107,6 +107,23 @@ def divide_by_linear(params: FieldParams, coeffs: jax.Array, u: int) -> jax.Arra
     return mont.mont_mul(params, s_next, pow_uinv[1 : n + 1])
 
 
+def divide_by_linear_row(
+    params: FieldParams, coeffs: jax.Array, u_row: jax.Array, uinv_row: jax.Array
+) -> jax.Array:
+    """divide_by_linear with a TRACED point: u and u^-1 enter as (L,)
+    Montgomery rows so the division can live inside a per-pk jitted program
+    instead of baking the per-proof challenge into a fresh XLA compile."""
+    n = coeffs.shape[0]
+    pow_u = power_table_row(params, u_row, n + 1)
+    c = mont.mont_mul(params, coeffs, pow_u[:n])
+    s = jax.lax.associative_scan(
+        lambda x, y: mont.add(params, x, y), c, reverse=True, axis=0
+    )
+    s_next = jnp.concatenate([s[1:], jnp.zeros((1, NUM_LIMBS), jnp.uint32)], axis=0)
+    pow_uinv = power_table_row(params, uinv_row, n + 1)
+    return mont.mont_mul(params, s_next, pow_uinv[1 : n + 1])
+
+
 def poly_sub_scalar(params: FieldParams, coeffs: jax.Array, c: int) -> jax.Array:
     """f(X) - c."""
     c_arr = mont.encode_ints(params, [c])[0]
