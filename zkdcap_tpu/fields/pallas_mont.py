@@ -365,9 +365,14 @@ def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret:
 
 
 @functools.cache
-def fused_pass_tables(params: FieldParams, log_n: int, inverse: bool = False):
+def _fused_pass_tables_np(params: FieldParams, log_n: int, inverse: bool = False):
     """Host-precomputed (S, L, C) twiddle vectors (Montgomery, ONE at lo
-    lanes) and (S, 1, C) hi-lane masks for the fused low-stage pass."""
+    lanes) and (S, 1, C) hi-lane masks for the fused low-stage pass.
+
+    Cached as NUMPY: jnp.asarray inside an outer trace returns a traced
+    constant, and memoising THAT leaks the tracer into later traces
+    (UnexpectedTracerError when intt_many is first reached inside a jitted
+    prover-round program — TPU-only path, fused kernels are backend-gated)."""
     import numpy as np
 
     from .params import R, int_to_limbs
@@ -393,6 +398,11 @@ def fused_pass_tables(params: FieldParams, log_n: int, inverse: bool = False):
             else:
                 val = one_m
             tw[s, :, i] = val
+    return tw, hi
+
+
+def fused_pass_tables(params: FieldParams, log_n: int, inverse: bool = False):
+    tw, hi = _fused_pass_tables_np(params, log_n, inverse)
     return jnp.asarray(tw), jnp.asarray(hi)
 
 
