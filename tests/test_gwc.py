@@ -58,3 +58,35 @@ def test_gwc_and_shplonk_are_distinct_wire_formats(setup):
 
     assert rejects(lambda: verify_proof(params, pk.vk, [inst], gwc))
     assert rejects(lambda: verify_proof(params, pk.vk, [inst], shp, multiopen="gwc"))
+
+
+def test_gwc_evm_verifier_executes(setup):
+    """GWC Solidity emission + EVM execution: the selectable multiopen pair
+    is complete end-to-end (prover, native verifier, contract)."""
+    from zkdcap_tpu.evm.calldata import encode_calldata
+    from zkdcap_tpu.evm.interp import EvmRevert, deploy_and_call
+    from zkdcap_tpu.evm.solc import compile_solidity
+    from zkdcap_tpu.evm.solidity import gen_evm_verifier
+
+    params, _, advice, inst = setup
+    cs, _ = build_cs()
+    q_vals, t_vals, *_ = witness()
+    pk = keygen(params, cs, [q_vals, t_vals], transcript_kind="keccak")
+    proof = create_proof(params, pk, advice, [inst], TranscriptWriter("keccak"),
+                         multiopen="gwc")
+    assert verify_proof(params, pk.vk, [inst], proof, multiopen="gwc")
+    src = gen_evm_verifier(params, pk.vk, num_instances=1, multiopen="gwc")
+    code = compile_solidity(src)
+    calldata = encode_calldata(inst, proof)
+    assert deploy_and_call(code, calldata) == b"\x01"
+    for frac in (0.1, 0.5, 0.9):
+        bad = bytearray(proof)
+        bad[int(len(bad) * frac)] ^= 1
+        try:
+            assert deploy_and_call(code, encode_calldata(inst, bytes(bad))) != b"\x01"
+        except EvmRevert:
+            pass
+    try:
+        assert deploy_and_call(code, encode_calldata([inst[0] + 1], proof)) != b"\x01"
+    except EvmRevert:
+        pass

@@ -86,7 +86,13 @@ def _expr_code(e, em: _Emitter, adv, fix, ins, challenges) -> str:
     raise TypeError(e)
 
 
-def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) -> str:
+def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int,
+                     multiopen: str = "shplonk") -> str:
+    """multiopen selects the final KZG argument the contract checks —
+    "shplonk" (the reference's pick, `base.rs:266-269`) or "gwc"; it must
+    match the prover's choice (proof layout differs: GWC carries one W
+    point per distinct opening point instead of SHPLONK's fixed H+W)."""
+    assert multiopen in ("shplonk", "gwc"), multiopen
     cs = vk.cs
     k = vk.k
     n = 1 << k
@@ -368,6 +374,66 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
             queries.append((nm, pc))
             eval_expr[(nm, pc)] = ev
 
+    if multiopen == "gwc":
+        # ---- GWC multiopen (commit/gwc.py gwc_verify in Solidity) --------
+        # group queries by opening point, first-appearance order
+        order_pcs: list[int] = []
+        names_at: dict[int, list[str]] = {}
+        for nm, pc in queries:
+            if pc not in names_at:
+                names_at[pc] = []
+                order_pcs.append(pc)
+            if nm not in names_at[pc]:
+                names_at[pc].append(nm)
+        # transcript: v squeezed; one W point per group read; u squeezed
+        squeeze("vg")
+        for i in range(len(order_pcs)):
+            rd_point(f"WG{i}")
+            absorb_point(f"WG{i}x", f"WG{i}y")
+        squeeze("ug")
+        # w_multi = sum u^i W_i ; rhs = sum u^i (z_i W_i + C_i) - e_multi G
+        E("uint256 wmx = 0; uint256 wmy = 0; bool wmset = false;")
+        E("uint256 rhx = 0; uint256 rhy = 0; bool rhset = false;")
+        E("uint256 eMulti = 0; uint256 ugpow = 1;")
+        for i, pc in enumerate(order_pcs):
+            E("{")
+            E("uint256 cbx = 0; uint256 cby = 0; bool cbset = false;")
+            E("uint256 ebatch = 0; uint256 vp = 1;")
+            for nm in names_at[pc]:
+                cx, cy = commit_expr[nm]
+                E(f"{{ (uint256 tx, uint256 ty) = ecMul({cx}, {cy}, vp);")
+                E("if (cbset) { (cbx, cby) = ecAdd(cbx, cby, tx, ty); }"
+                  " else { cbx = tx; cby = ty; cbset = true; } }")
+                E(f"ebatch = addmod(ebatch, mulmod(vp, {eval_expr[(nm, pc)]}, R), R);")
+                E("vp = mulmod(vp, vg, R);")
+            E(f"{{ (uint256 tx, uint256 ty) = ecMul(WG{i}x, WG{i}y, ugpow);")
+            E("if (wmset) { (wmx, wmy) = ecAdd(wmx, wmy, tx, ty); }"
+              " else { wmx = tx; wmy = ty; wmset = true; } }")
+            E(f"{{ (uint256 tx, uint256 ty) = ecMul(WG{i}x, WG{i}y,"
+              f" mulmod(ugpow, mulmod(x, 0x{pc:x}, R), R));")
+            E("if (rhset) { (rhx, rhy) = ecAdd(rhx, rhy, tx, ty); }"
+              " else { rhx = tx; rhy = ty; rhset = true; } }")
+            E("{ (uint256 tx, uint256 ty) = ecMul(cbx, cby, ugpow);")
+            E("  (rhx, rhy) = ecAdd(rhx, rhy, tx, ty); }")
+            E("eMulti = addmod(eMulti, mulmod(ugpow, ebatch, R), R);")
+            E("ugpow = mulmod(ugpow, ug, R);")
+            E("}")
+        E("{ (uint256 tx, uint256 ty) = ecMul(1, 2, R - eMulti);")
+        E("  (rhx, rhy) = ecAdd(rhx, rhy, tx, ty); }")
+        # pairing: e(w_multi, sG2) * e(-rhs, G2) == 1
+        g2 = params.srs.g2
+        sg2 = params.srs.s_g2
+        E("uint256[12] memory pin;")
+        E("pin[0] = wmx; pin[1] = wmy;")
+        E(f"pin[2] = 0x{sg2[0].c1:x}; pin[3] = 0x{sg2[0].c0:x};")
+        E(f"pin[4] = 0x{sg2[1].c1:x}; pin[5] = 0x{sg2[1].c0:x};")
+        E("pin[6] = rhx; pin[7] = rhy == 0 ? 0 : Q - rhy;")
+        E(f"pin[8] = 0x{g2[0].c1:x}; pin[9] = 0x{g2[0].c0:x};")
+        E(f"pin[10] = 0x{g2[1].c1:x}; pin[11] = 0x{g2[1].c0:x};")
+        E("(bool pok, bytes memory pout) = address(0x08).staticcall(abi.encode(pin));")
+        E('require(pok && abi.decode(pout, (uint256)) == 1, "pairing");')
+        return _wrap_contract(em, k, n, omega, num_instances, multiopen)
+
     # group names by their point-coefficient set (insertion order)
     name_points: dict[str, list[int]] = {}
     for nm, pc in queries:
@@ -450,15 +516,19 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey, num_instances: int) ->
     E(f"pin[10] = 0x{sg2[1].c1:x}; pin[11] = 0x{sg2[1].c0:x};")
     E("(bool pok, bytes memory pout) = address(0x08).staticcall(abi.encode(pin));")
     E('require(pok && abi.decode(pout, (uint256)) == 1, "pairing");')
+    return _wrap_contract(em, k, n, omega, num_instances, multiopen)
 
+
+def _wrap_contract(em: _Emitter, k: int, n: int, omega: int,
+                   num_instances: int, multiopen: str) -> str:
     body = "\n".join(em.lines)
 
     contract = f"""// SPDX-License-Identifier: MIT
 // Generated by zkdcap_tpu gen_evm_verifier (snark-verifier EvmLoader equivalent).
 // Verifies proofs of the k={k} circuit with {num_instances} public inputs.
 // NOTE: transcript challenge recomputation + expected-quotient evaluation are
-// fully generated; the final SHPLONK pairing check consumes the generated
-// values via the 0x06/0x07/0x08 precompiles (verifyMultiopen).
+// fully generated; the final {multiopen.upper()} pairing check consumes the
+// generated values via the 0x06/0x07/0x08 precompiles (verifyMultiopen).
 pragma solidity ^0.8.19;
 
 contract Halo2Verifier {{
