@@ -472,10 +472,17 @@ def _msm_many_device(spec: CurveSpec, points, scalars_std_batch, lanes: int):
 
 
 def msm_many_host(points: jax.Array, scalars_mont_list, spec: CurveSpec = G1_SPEC,
-                  max_batch: int = 4):
+                  max_batch: int | None = None):
     """Batch MSM: many scalar vectors against one point set (the prover's
     per-round multi-column commitments, SURVEY.md §2.3 "commit all advice
-    columns as one batched MSM"). Returns host affine points."""
+    columns as one batched MSM"). Returns host affine points.
+
+    max_batch = columns vmapped per launch (fixed-point padding keeps one
+    compiled shape per round); ZKDCAP_MSM_BATCH overrides for tuning."""
+    if max_batch is None:
+        import os
+
+        max_batch = int(os.environ.get("ZKDCAP_MSM_BATCH", "4"))
     if not scalars_mont_list:
         return []
     N = points.shape[0]
