@@ -662,7 +662,8 @@ def create_proof(
         h_pieces = st["h_pieces"]
     else:
         h_pieces, all_constraints_ext = _compute_quotient(
-            pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff, theta, beta, gamma, y,
+            pk, advice_coeff, instance_lagrange, lookup_data, perm_z_coeff,
+            theta, beta, gamma, y, mesh=mesh,
         )
         for pt in params.commit_many(h_pieces, mesh=mesh):
             transcript.write_point(pt)
@@ -753,14 +754,22 @@ def create_proof(
     return transcript.finalize()
 
 
-def _quotient_program_for(pk: ProvingKey):
+def _quotient_program_for(pk: ProvingKey, mesh=None):
     """ONE jitted program for the whole quotient round (SURVEY.md §3.1
     step 6), cached on the pk. Eagerly, the round is hundreds of dispatches
     over (ext_n, L) arrays — each a separate executable launch (and, under
     the axon tunnel, a remote round-trip). Challenges enter as traced (L,)
     Montgomery arrays so the SAME compiled program serves every proof; the
     static constraint structure (gate ASTs, permutation chunks, lookups)
-    is baked in at trace time from the ConstraintSystem."""
+    is baked in at trace time from the ConstraintSystem.
+
+    With `mesh`, every extended-coset array carries a row-sharding
+    constraint over the mesh's 'shard' axis, so GSPMD row-shards the
+    pointwise constraint evaluation (the quotient's dominant work) across
+    chips inside this ONE compiled program — the SURVEY §5.7 "row-dimension
+    scaling" path. XLA inserts the gather/reshard collectives around the
+    NTTs itself (eagerly dispatching sharded ops proved unreliable on
+    XLA:CPU; compiled GSPMD programs are the supported route)."""
     cs = pk.cs
     domain = pk.domain
     n = domain.n
@@ -782,12 +791,30 @@ def _quotient_program_for(pk: ProvingKey):
     def bc(row):  # (L,) -> (ext_n, L)
         return jnp.broadcast_to(row[None, :], (ext_n, NUM_LIMBS))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _row_sharding = NamedSharding(mesh, PartitionSpec("shard", None))
+
+        def shard_rows(a):
+            return jax.lax.with_sharding_constraint(a, _row_sharding)
+    else:
+        def shard_rows(a):
+            return a
+
     def run(fixed_ext, sigma_ext, l0, llast, lblind, zh_inv_ext,
             advice_coeff, instance_lagrange, perm_z_coeff, lookup_coeffs,
             theta_r, beta_r, gamma_r, y_r):
-        advice_ext = [domain.coeff_to_extended(a) for a in advice_coeff]
+        fixed_ext = [shard_rows(a) for a in fixed_ext]
+        sigma_ext = [shard_rows(a) for a in sigma_ext]
+        l0, llast, lblind, zh_inv_ext = (
+            shard_rows(l0), shard_rows(llast), shard_rows(lblind),
+            shard_rows(zh_inv_ext),
+        )
+        advice_ext = [shard_rows(domain.coeff_to_extended(a)) for a in advice_coeff]
         instance_ext = [
-            domain.coeff_to_extended(intt(BN254_FR, i)) for i in instance_lagrange
+            shard_rows(domain.coeff_to_extended(intt(BN254_FR, i)))
+            for i in instance_lagrange
         ]
         ev = Evaluator(
             fixed_ext,
@@ -816,7 +843,7 @@ def _quotient_program_for(pk: ProvingKey):
 
         # permutation constraints
         if m:
-            zs_ext = [domain.coeff_to_extended(zc) for zc in perm_z_coeff]
+            zs_ext = [shard_rows(domain.coeff_to_extended(zc)) for zc in perm_z_coeff]
             # l_0 * (1 - z_0)
             add_constraint(
                 mont.mont_mul(BN254_FR, l0, mont.sub(BN254_FR, one_ext, zs_ext[0]))
@@ -842,11 +869,11 @@ def _quotient_program_for(pk: ProvingKey):
                 "advice": advice_ext,
                 "instance": instance_ext,
             }
-            xs = mont.mont_mul(
+            xs = shard_rows(mont.mont_mul(
                 BN254_FR,
                 power_table_for(BN254_FR, domain.extended_omega, ext_n),
                 jnp.broadcast_to(g_coset_row, (ext_n, NUM_LIMBS)),
-            )
+            ))
             gamma_e = bc(gamma_r)
             beta_e = bc(beta_r)
             for ci, c0 in enumerate(range(0, m, chunk)):
@@ -892,9 +919,9 @@ def _quotient_program_for(pk: ProvingKey):
                     a_comp = a_term if a_comp is None else mont.add(BN254_FR, a_comp, a_term)
                     s_comp = s_term if s_comp is None else mont.add(BN254_FR, s_comp, s_term)
                     theta_pow = smul(theta_pow, theta_r)
-                z_ext = domain.coeff_to_extended(z_coeff)
-                ap_ext = domain.coeff_to_extended(ap_coeff)
-                sp_ext = domain.coeff_to_extended(sp_coeff)
+                z_ext = shard_rows(domain.coeff_to_extended(z_coeff))
+                ap_ext = shard_rows(domain.coeff_to_extended(ap_coeff))
+                sp_ext = shard_rows(domain.coeff_to_extended(sp_coeff))
                 z_next = jnp.roll(z_ext, -ratio, axis=0)
                 ap_prev = jnp.roll(ap_ext, ratio, axis=0)
                 # l_0 * (1 - z)
@@ -962,14 +989,18 @@ def _compute_quotient(
     beta: int,
     gamma: int,
     y: int,
+    mesh=None,
 ):
     """Evaluate sum_i y^i * constraint_i on the extended coset, divide by Z_H,
     return quotient pieces (coefficient form, n each). Runs as ONE compiled
-    program (see _quotient_program_for)."""
-    fn = getattr(pk, "_quotient_jit", None)
-    if fn is None:
-        fn = _quotient_program_for(pk)
-        pk._quotient_jit = fn
+    program (see _quotient_program_for); with `mesh`, that program row-shards
+    the extended arrays across the mesh (opt out: ZKDCAP_SHARD_QUOTIENT=0)."""
+    import os
+
+    if mesh is not None and os.environ.get("ZKDCAP_SHARD_QUOTIENT", "1") == "0":
+        mesh = None
+    key = "quotient" if mesh is None else f"quotient@{id(mesh)}"
+    fn = _pk_program(pk, key, lambda _pk: _quotient_program_for(_pk, mesh))
     enc1 = lambda v: mont.encode_ints(BN254_FR, [v % R])[0]
     lookup_coeffs = [
         (ld["z_coeff"], ld["a_perm_coeff"], ld["s_perm_coeff"]) for ld in lookup_data
