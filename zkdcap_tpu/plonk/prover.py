@@ -116,6 +116,21 @@ def _enc1(v: int) -> jax.Array:
     return mont.encode_ints(BN254_FR, [v % R])[0]
 
 
+def _row_sharder(mesh):
+    """Returns a with_sharding_constraint closure over the mesh's 'shard'
+    axis (identity when mesh is None or ZKDCAP_SHARD_ROWS=0). Used inside
+    the jitted round programs so GSPMD row-shards the (n, L) field arrays
+    across chips within ONE compiled program (SURVEY.md §5.7)."""
+    import os
+
+    if mesh is None or os.environ.get("ZKDCAP_SHARD_ROWS", "1") == "0":
+        return lambda a: a
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec("shard", None))
+    return lambda a: jax.lax.with_sharding_constraint(a, sh)
+
+
 def _pk_program(pk: ProvingKey, name: str, builder):
     """Per-pk cache of a jitted round program (traced-challenge design:
     one compiled program serves every proof for this pk)."""
@@ -196,7 +211,7 @@ def _lookup_perm_program_for(pk: ProvingKey):
     return _pk_program(pk, "lookup_perm", builder)
 
 
-def _perm_z_program_for(pk: ProvingKey):
+def _perm_z_program_for(pk: ProvingKey, mesh=None):
     """Round-3 permutation grand products: every chunk's ratio products,
     batch inverse, log-depth prefix scan, chunk chaining, blinding, and the
     batched INTT — one compiled program with beta/gamma traced."""
@@ -211,9 +226,15 @@ def _perm_z_program_for(pk: ProvingKey):
     ]
 
     def builder(_pk):
+        shard_rows = _row_sharder(mesh)
+
         def run(fixed_lagr, advice_lagr, instance_lagr, sigma_lagr,
                 beta_r, gamma_r, blinds):
-            omega_pows = power_table_for(BN254_FR, domain.omega, n)
+            fixed_lagr = [shard_rows(a) for a in fixed_lagr]
+            advice_lagr = [shard_rows(a) for a in advice_lagr]
+            instance_lagr = [shard_rows(a) for a in instance_lagr]
+            sigma_lagr = [shard_rows(a) for a in sigma_lagr]
+            omega_pows = shard_rows(power_table_for(BN254_FR, domain.omega, n))
             gamma_b = jnp.broadcast_to(gamma_r[None], (n, NUM_LIMBS))
             beta_b = jnp.broadcast_to(beta_r[None], (n, NUM_LIMBS))
             col_arrays = {"fixed": fixed_lagr, "advice": advice_lagr,
@@ -252,17 +273,24 @@ def _perm_z_program_for(pk: ProvingKey):
 
         return jax.jit(run)
 
-    return _pk_program(pk, "perm_z", builder)
+    return _pk_program(pk, f"perm_z@{id(mesh)}" if mesh is not None else "perm_z",
+                       builder)
 
 
-def _lookup_z_program_for(pk: ProvingKey):
+def _lookup_z_program_for(pk: ProvingKey, mesh=None):
     """Round-4 lookup grand products (same design as round 3)."""
     cs = pk.cs
     n = 1 << pk.k
     u = cs.usable_rows(n)
 
     def builder(_pk):
+        shard_rows = _row_sharder(mesh)
+
         def run(a_list, s_list, ap_list, sp_list, beta_r, gamma_r, blinds):
+            a_list = [shard_rows(a) for a in a_list]
+            s_list = [shard_rows(a) for a in s_list]
+            ap_list = [shard_rows(a) for a in ap_list]
+            sp_list = [shard_rows(a) for a in sp_list]
             beta_b = jnp.broadcast_to(beta_r[None], (n, NUM_LIMBS))
             gamma_b = jnp.broadcast_to(gamma_r[None], (n, NUM_LIMBS))
             zs = []
@@ -288,7 +316,8 @@ def _lookup_z_program_for(pk: ProvingKey):
 
         return jax.jit(run)
 
-    return _pk_program(pk, "lookup_z", builder)
+    return _pk_program(pk, f"lookup_z@{id(mesh)}" if mesh is not None else "lookup_z",
+                       builder)
 
 
 def _evals_query_plan(cs: ConstraintSystem, n: int):
@@ -594,7 +623,7 @@ def create_proof(
             blinds = [
                 _blind_vals(b"permz%d" % zi, n - u - 1) for zi in range(n_chunks)
             ]
-            _, perm_z_coeff = _perm_z_program_for(pk)(
+            _, perm_z_coeff = _perm_z_program_for(pk, mesh)(
                 list(pk.fixed_lagrange), list(advice_lagrange),
                 list(instance_lagrange), list(pk.sigma_lagrange),
                 _enc1(beta), _enc1(gamma), blinds,
@@ -622,7 +651,7 @@ def create_proof(
         blinds = [
             _blind_vals(b"lkz%d" % li, n - u - 1) for li in range(len(lookup_data))
         ]
-        _, z_coeffs = _lookup_z_program_for(pk)(
+        _, z_coeffs = _lookup_z_program_for(pk, mesh)(
             [ld["a"] for ld in lookup_data], [ld["s"] for ld in lookup_data],
             [ld["a_perm"] for ld in lookup_data],
             [ld["s_perm"] for ld in lookup_data],
@@ -791,16 +820,7 @@ def _quotient_program_for(pk: ProvingKey, mesh=None):
     def bc(row):  # (L,) -> (ext_n, L)
         return jnp.broadcast_to(row[None, :], (ext_n, NUM_LIMBS))
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        _row_sharding = NamedSharding(mesh, PartitionSpec("shard", None))
-
-        def shard_rows(a):
-            return jax.lax.with_sharding_constraint(a, _row_sharding)
-    else:
-        def shard_rows(a):
-            return a
+    shard_rows = _row_sharder(mesh)
 
     def run(fixed_ext, sigma_ext, l0, llast, lblind, zh_inv_ext,
             advice_coeff, instance_lagrange, perm_z_coeff, lookup_coeffs,
@@ -994,10 +1014,10 @@ def _compute_quotient(
     """Evaluate sum_i y^i * constraint_i on the extended coset, divide by Z_H,
     return quotient pieces (coefficient form, n each). Runs as ONE compiled
     program (see _quotient_program_for); with `mesh`, that program row-shards
-    the extended arrays across the mesh (opt out: ZKDCAP_SHARD_QUOTIENT=0)."""
+    the extended arrays across the mesh (opt out: ZKDCAP_SHARD_ROWS=0)."""
     import os
 
-    if mesh is not None and os.environ.get("ZKDCAP_SHARD_QUOTIENT", "1") == "0":
+    if mesh is not None and os.environ.get("ZKDCAP_SHARD_ROWS", "1") == "0":
         mesh = None
     key = "quotient" if mesh is None else f"quotient@{id(mesh)}"
     fn = _pk_program(pk, key, lambda _pk: _quotient_program_for(_pk, mesh))
