@@ -127,7 +127,9 @@ def _row_sharder(mesh):
         return lambda a: a
     from jax.sharding import NamedSharding, PartitionSpec
 
-    sh = NamedSharding(mesh, PartitionSpec("shard", None))
+    # rows split over ALL mesh axes (("shard",) for proving_mesh,
+    # ("host", "chip") for multihost_mesh)
+    sh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names), None))
     return lambda a: jax.lax.with_sharding_constraint(a, sh)
 
 
