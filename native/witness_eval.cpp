@@ -14,6 +14,7 @@
 //
 // Python floor semantics throughout (floordiv/mod/rshift on negatives).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -421,9 +422,12 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
     inputs[i].n = in_n[i];
     inputs[i].neg = in_neg[i];
   }
+  // Barrett reducers for pooled moduli. Populated in a single-threaded
+  // pre-pass over the tape so the map is READ-ONLY during evaluation and
+  // the level-parallel path below can share it without locks.
   std::unordered_map<int64_t, Barrett> bcache;  // pool idx -> barrett
 
-  auto get_barrett = [&](int64_t pool_idx) -> const Barrett * {
+  auto make_barrett = [&](int64_t pool_idx) -> const Barrett * {
     auto it = bcache.find(pool_idx);
     if (it != bcache.end()) return &it->second;
     const Val &m = pool[pool_idx];
@@ -443,6 +447,16 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
     auto res = bcache.emplace(pool_idx, B);
     return &res.first->second;
   };
+  for (int64_t i = 0; i < n_nodes; i++) {
+    if (op[i] == 5 && bb[i] < 0)
+      make_barrett(-bb[i] - 1);
+    else if (op[i] == 12 && cc[i] < 0)
+      make_barrett(-cc[i] - 1);
+  }
+  auto find_barrett = [&](int64_t pool_idx) -> const Barrett * {
+    auto it = bcache.find(pool_idx);
+    return it == bcache.end() ? nullptr : &it->second;
+  };
 
 #define ARG(x, dst)                        \
   const Val *dst;                          \
@@ -451,7 +465,7 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
   else                                     \
     dst = &pool[-(x)-1];
 
-  for (int64_t i = 0; i < n_nodes; i++) {
+  auto eval_node = [&](int64_t i) -> int {
     Val &o = vals[i];
     int64_t opc = op[i];
     switch (opc) {
@@ -489,7 +503,7 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
         ARG(bb[i], pb);
         // fast path: pooled positive divisor, nonneg dividend -> Barrett
         if (opc == 5 && bb[i] < 0 && !pa->neg && pb->n && !pb->neg) {
-          const Barrett *B = get_barrett(-bb[i] - 1);
+          const Barrett *B = find_barrett(-bb[i] - 1);
           if (B && bitlen(*pa) <= B->k2) {
             if (!barrett_mod(*pa, *B, o)) return 3;
             break;
@@ -566,7 +580,7 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
         if (pe->neg || pm->n == 0 || pm->neg) return 7;
         const Barrett *B = nullptr;
         Barrett local;
-        if (cc[i] < 0) B = get_barrett(-cc[i] - 1);
+        if (cc[i] < 0) B = find_barrett(-cc[i] - 1);
         if (!B) {
           local.m = *pm;
           int k = bitlen(*pm);
@@ -676,6 +690,97 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
       default:
         return 1;
     }
+    return 0;
+  };
+
+  // Execution. The tape is in topological order, so the sequential walk is
+  // always correct. ZKDCAP_WITNESS_THREADS=1 switches to a level-scheduled
+  // OpenMP walk (level = longest operand chain, wide levels as
+  // parallel-for). Measured on the DCAP k=17 tape this LOSES (637 ms ->
+  // 3.1 s): 74% of the 5.2M nodes sit in 44k narrow levels (median 36
+  // nodes), so the reordering trashes cache locality for a <=1.24x
+  // Amdahl ceiling. Kept for DAGs with genuinely wide level profiles.
+  bool parallel_ok = false;
+  {
+    const char *tenv = std::getenv("ZKDCAP_WITNESS_THREADS");
+    if (tenv && tenv[0] == '1' && tenv[1] == 0) parallel_ok = true;
+  }
+#ifndef _OPENMP
+  parallel_ok = false;
+#endif
+  if (!parallel_ok) {
+    for (int64_t i = 0; i < n_nodes; i++) {
+      int rc = eval_node(i);
+      if (rc) return rc;
+    }
+  } else {
+    std::vector<int32_t> depth((size_t)n_nodes);
+    int32_t max_d = 0;
+    for (int64_t i = 0; i < n_nodes; i++) {
+      int32_t d = -1;
+      auto upd = [&](int64_t x) {
+        if (x >= 0 && x < i && depth[(size_t)x] > d) d = depth[(size_t)x];
+      };
+      switch (op[i]) {
+        case 0:
+          break;
+        case 18:
+          upd(bb[i]);
+          break;
+        case 11:
+        case 19:
+          upd(aa[i]);
+          break;
+        case 12:
+          upd(aa[i]);
+          upd(bb[i]);
+          upd(cc[i]);
+          break;
+        default:
+          upd(aa[i]);
+          upd(bb[i]);
+          break;
+      }
+      depth[i] = d + 1;
+      if (depth[i] > max_d) max_d = depth[i];
+    }
+    // stable counting sort by level keeps topo order inside each level
+    std::vector<int64_t> off((size_t)max_d + 2, 0);
+    for (int64_t i = 0; i < n_nodes; i++) off[(size_t)depth[i] + 1]++;
+    for (int64_t l = 0; l <= max_d; l++) off[(size_t)l + 1] += off[(size_t)l];
+    std::vector<int64_t> order((size_t)n_nodes);
+    {
+      std::vector<int64_t> cur(off.begin(), off.end() - 1);
+      for (int64_t i = 0; i < n_nodes; i++) order[cur[(size_t)depth[i]]++] = i;
+    }
+    std::atomic<int> aerr{0};
+    const int64_t PAR_MIN = 1024;  // below this the fork overhead loses
+    for (int64_t l = 0; l <= max_d; l++) {
+      if (aerr.load(std::memory_order_relaxed)) break;
+      int64_t s = off[(size_t)l], e = off[(size_t)l + 1];
+      if (e - s >= PAR_MIN) {
+#pragma omp parallel for schedule(static)
+        for (int64_t t = s; t < e; t++) {
+          if (aerr.load(std::memory_order_relaxed)) continue;
+          int rc = eval_node(order[t]);
+          if (rc) {
+            int z = 0;
+            aerr.compare_exchange_strong(z, rc);
+          }
+        }
+      } else {
+        for (int64_t t = s; t < e; t++) {
+          int rc = eval_node(order[t]);
+          if (rc) {
+            int z = 0;
+            aerr.compare_exchange_strong(z, rc);
+            break;
+          }
+        }
+      }
+    }
+    int rc = aerr.load();
+    if (rc) return rc;
   }
 
   // gather cells (values must be in [0, 2^256))
