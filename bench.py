@@ -66,6 +66,22 @@ def _np_scalars(n: int, num_limbs: int):
     return s
 
 
+def _dev_scalars(n: int, num_limbs: int):
+    """Same distribution as _np_scalars but generated ON DEVICE: the axon
+    tunnel's host->device bandwidth is unreliable (measured 1.3 MB/s on
+    2026-08-20 — a 64 MB scalar upload alone would eat 50s of the driver's
+    budget), so the bench ships only an RNG key."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        bits = jax.random.bits(key, (n, num_limbs), jnp.uint32) & 0xFFFF
+        return bits.at[:, num_limbs - 1].set(0)
+
+    return gen(jax.random.PRNGKey(1))
+
+
 def bench_msm(log_n: int, iters: int = 3) -> float:
     import random
 
@@ -80,11 +96,13 @@ def bench_msm(log_n: int, iters: int = 3) -> float:
 
     n = 1 << log_n
     rng = random.Random(1)
-    scal_std = jnp.asarray(_np_scalars(n, NUM_LIMBS))
-    # points: repeat a small set of real G1 multiples (values don't affect speed)
+    scal_std = _dev_scalars(n, NUM_LIMBS)
+    # points: repeat a small set of real G1 multiples (values don't affect
+    # speed); upload only the 8 KB base and tile ON DEVICE (tunnel slowness,
+    # see _dev_scalars)
     base_pts = [BN254_G1.mul(rng.randrange(1, 1 << 60), BN254_G1.g) for _ in range(64)]
-    base = np.asarray(encode_points(G1_SPEC, base_pts))
-    pts = jnp.asarray(np.tile(base, (n // base.shape[0], 1, 1)))
+    base = jnp.asarray(np.asarray(encode_points(G1_SPEC, base_pts)))
+    pts = jnp.tile(base, (n // base.shape[0], 1, 1))
 
     def run():
         out = msm_device(G1_SPEC, pts, scal_std, min(16384, n))
@@ -119,7 +137,7 @@ def bench_ntt(log_n: int, iters: int = 3) -> float:
     import numpy as np
 
     n = 1 << log_n
-    a = jnp.asarray(_np_scalars(n, NUM_LIMBS))
+    a = _dev_scalars(n, NUM_LIMBS)
     t0 = time.time()
     out = ntt(BN254_FR, a)
     np.asarray(jax.device_get(out[0]))  # axon: block_until_ready does not force

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import _np_scalars  # noqa: E402
+from bench import _enable_compile_cache, _np_scalars  # noqa: E402
+
+_enable_compile_cache()
 from zkdcap_tpu.curves import BN254_G1  # noqa: E402
 from zkdcap_tpu.curves.device_g1 import G1_SPEC, encode_points  # noqa: E402
 from zkdcap_tpu.fields import mont  # noqa: E402

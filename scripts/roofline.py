@@ -92,7 +92,7 @@ def bench_ntt(log_n=22):
 def bench_msm(log_n=20):
     from zkdcap_tpu.curves import BN254_G1
     from zkdcap_tpu.curves.device_g1 import G1_SPEC, encode_points
-    from zkdcap_tpu.msm.pippenger import msm_device, window_cfg
+    from zkdcap_tpu.msm.pippenger import NUM_WINDOWS, msm_device
 
     n = 1 << log_n
     rng = np.random.default_rng(2)
@@ -110,8 +110,7 @@ def bench_msm(log_n=20):
         return X.sum(dtype=jnp.uint32) + Y.sum(dtype=jnp.uint32)
 
     s = timeit(jax.jit(f), pts, scal)
-    cfg = window_cfg(n)
-    adds = n * cfg.windows
+    adds = n * NUM_WINDOWS
     # compute floor: W mixed adds/point at 13 CIOS muls; memory floor: one
     # 64 B packed row gather per (point, window)
     sol = max(adds * 13 * CIOS_OPS / (VPU_GOPS * 1e9),

@@ -221,12 +221,19 @@ MAX_SUB = 64  # rows per grid step: block (L, 64, 128) = 512 KiB x 10 refs
 
 
 def _fold_sub(m_cols: int) -> int:
-    """Largest SUB <= MAX_SUB with SUB*LANE dividing m_cols."""
+    """Block row count for a (L, rows, LANE) operand.
+
+    Mosaic requires the block's second-to-last dim be divisible by 8 OR
+    equal the full dim, so: whole array when rows <= MAX_SUB, else the
+    largest power-of-two divisor in [8, MAX_SUB]. Returns 0 when no legal
+    fold exists (callers fall back to the jnp path)."""
     rows = m_cols // LANE
+    if rows <= MAX_SUB:
+        return rows
     sub = MAX_SUB
-    while sub > 1 and rows % sub:
+    while sub >= 8 and rows % sub:
         sub //= 2
-    return sub
+    return sub if sub >= 8 else 0
 
 
 @functools.cache
@@ -610,7 +617,7 @@ def ec_add_select(spec: CurveSpec, P, Q, mask, fallback: str):
 
     Falls back to the jnp complete-add path off-TPU or for unaligned M."""
     M = P[0].shape[0]
-    if M % LANE or jax.default_backend() != "tpu":
+    if M % LANE or not _fold_sub(M) or jax.default_backend() != "tpu":
         from .device_g1 import ec_add, ec_select
 
         s = ec_add(spec, P, Q)

@@ -51,7 +51,14 @@ from ..curves.device_g1 import (
 from ..fields import BN254_FR, mont
 from ..fields.params import NUM_LIMBS
 
-WINDOW_BITS = 13
+import os as _os
+
+# Window width c is tunable (8..16): fewer windows means fewer sorts,
+# gathers and scan steps (all O(W*N)), more buckets means a longer suffix
+# scan / tree reduce (O(W * 2^(c-1))). c=13 balances these at N=2^20 on
+# v5e; ZKDCAP_MSM_C sweeps the trade-off without a code change.
+WINDOW_BITS = int(_os.environ.get("ZKDCAP_MSM_C", "13"))
+assert 8 <= WINDOW_BITS <= 16, "window digits must fit two 16-bit limbs"
 NUM_WINDOWS = -(-256 // WINDOW_BITS)  # 20 windows of 13 bits
 NUM_BUCKETS = 1 << (WINDOW_BITS - 1)  # signed digits: |d| in [0, 2^(c-1)]
 L = NUM_LIMBS
@@ -331,7 +338,13 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
         # most one partial per lane it spans, so ceil(log2(G)) levels close
         # every group — not log2(K).
         BK = WP * K
-        use_lm_hs = BK % EC_BLOCK == 0 and jax.default_backend() == "tpu"
+        from ..curves.ec_kernels import _fold_sub
+
+        use_lm_hs = (
+            BK % EC_BLOCK == 0
+            and _fold_sub(BK) > 0
+            and jax.default_backend() == "tpu"
+        )
         cX = vX.transpose(2, 0, 1)  # (L, WP, K)
         cY = vY.transpose(2, 0, 1)
         cZ = vZ.transpose(2, 0, 1)
@@ -384,40 +397,85 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
     bY = bY.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
     bZ = bZ.reshape(NUM_WINDOWS, NUM_BUCKETS, L)
 
-    # -- stage 6b: log-depth aggregation: sum_b b*B_b = sum_{b>=1} S_b where
-    # S_b = suffix sums of buckets — a Hillis-Steele suffix scan followed by
-    # a tree reduction, instead of 2*NUM_BUCKETS sequential tiny adds.
-    # Slot i holds bucket i+1, so S over slots is exactly sum_{b>=1}.
-    S = (bX, bY, bZ)
-    idxB = jnp.arange(NUM_BUCKETS, dtype=jnp.int32)
-
+    # -- stage 6b: aggregation sum_i (i+1)*B_i (slot i holds bucket i+1) in
+    # SPLIT-WEIGHT form. Write i = hi*2^H + lo; then
+    #   sum_i (i+1) B_i = 2^H * sum_hi hi*C_hi  +  sum_lo (lo+1)*D_lo
+    # with C_hi = sum_lo B[hi,lo] and D_lo = sum_hi B[hi,lo]. Cost: two
+    # kernel tree reductions (~2*NB adds/window) + two suffix scans over
+    # ~sqrt(NB) lanes + H doublings — ~6x fewer EC adds than the former
+    # full-width Hillis-Steele suffix + jnp tree reduce over all NB slots.
     from ..curves.ec_kernels import ec_add_select as _eas
 
-    def suffix_level(s, carry):
-        cX, cY, cZ = carry
-        shift = jnp.left_shift(jnp.int32(1), s)
-        nX = jnp.roll(cX, -shift, axis=1)
-        nY = jnp.roll(cY, -shift, axis=1)
-        nZ = jnp.roll(cZ, -shift, axis=1)
-        valid = (idxB + shift) < NUM_BUCKETS
-        vb = jnp.broadcast_to(valid[None, :], cX.shape[:2])
-        flatP = tuple(c.reshape(-1, L) for c in (cX, cY, cZ))
-        flatQ = tuple(c.reshape(-1, L) for c in (nX, nY, nZ))
-        new = _eas(spec, flatP, flatQ, vb.reshape(-1), fallback="p")
-        return tuple(c.reshape(cX.shape) for c in new)
+    HSPLIT = (WINDOW_BITS - 1) // 2
+    lo_n = 1 << HSPLIT
+    hi_n = NUM_BUCKETS >> HSPLIT
 
-    S = jax.lax.fori_loop(0, WINDOW_BITS - 1, suffix_level, S)
+    def tree_sum(T3, m, axis):
+        # pairwise halving over `axis` through the fused complete-add kernel
+        while m > 1:
+            half = m // 2
+            a = tuple(jax.lax.slice_in_dim(t, 0, half, axis=axis) for t in T3)
+            b = tuple(
+                jax.lax.slice_in_dim(t, half, 2 * half, axis=axis) for t in T3
+            )
+            sh = a[0].shape
+            ones = jnp.ones((a[0].size // L,), jnp.uint32)
+            s = _eas(
+                spec,
+                tuple(x.reshape(-1, L) for x in a),
+                tuple(x.reshape(-1, L) for x in b),
+                ones,
+                fallback="p",
+            )
+            T3 = tuple(x.reshape(sh) for x in s)
+            m = half
+        return tuple(jnp.squeeze(t, axis=axis) for t in T3)
 
-    # tree-reduce S_1..S_NB (shapes halve per level -> unrolled python loop)
-    T3 = S
-    m_cur = NUM_BUCKETS
-    while m_cur > 1:
-        half = m_cur // 2
-        a = tuple(t[:, :half] for t in T3)
-        b = tuple(t[:, half : 2 * half] for t in T3)
-        T3 = ec_add(spec, a, b)
-        m_cur = half
-    T = tuple(t[:, 0] for t in T3)  # (W, L) each
+    def suffix_scan(T3, m):
+        # Hillis-Steele suffix sums along axis 1 of (W, m, L) coords
+        idx = jnp.arange(m, dtype=jnp.int32)
+
+        def level(s, carry):
+            cX, cY, cZ = carry
+            shift = jnp.left_shift(jnp.int32(1), s)
+            nX = jnp.roll(cX, -shift, axis=1)
+            nY = jnp.roll(cY, -shift, axis=1)
+            nZ = jnp.roll(cZ, -shift, axis=1)
+            valid = (idx + shift) < m
+            vb = jnp.broadcast_to(valid[None, :], cX.shape[:2])
+            new = _eas(
+                spec,
+                tuple(c.reshape(-1, L) for c in (cX, cY, cZ)),
+                tuple(c.reshape(-1, L) for c in (nX, nY, nZ)),
+                vb.reshape(-1).astype(jnp.uint32),
+                fallback="p",
+            )
+            return tuple(c.reshape(cX.shape) for c in new)
+
+        n_lev = max((m - 1).bit_length(), 1)
+        return jax.lax.fori_loop(0, n_lev, level, T3)
+
+    def mask_slot0(T3):
+        # slot 0 -> projective identity (its weight term is hi=0)
+        X, Y, Z = T3
+        is0 = (jnp.arange(X.shape[1]) == 0)[None, :, None]
+        one_row = mont.one_mont(f, (1,))[0][None, None, :]
+        return (
+            jnp.where(is0, 0, X),
+            jnp.where(is0, jnp.broadcast_to(one_row, Y.shape), Y),
+            jnp.where(is0, 0, Z),
+        )
+
+    B4 = tuple(
+        b.reshape(NUM_WINDOWS, hi_n, lo_n, L) for b in (bX, bY, bZ)
+    )
+    C3 = tree_sum(B4, lo_n, axis=2)  # (W, hi_n, L): row sums over lo
+    D3 = tree_sum(B4, hi_n, axis=1)  # (W, lo_n, L): col sums over hi
+    A3 = tree_sum(mask_slot0(suffix_scan(C3, hi_n)), hi_n, axis=1)  # (W, L)
+    B3 = tree_sum(suffix_scan(D3, lo_n), lo_n, axis=1)  # (W, L)
+    for _ in range(HSPLIT):
+        A3 = ec_double(spec, A3)
+    T = ec_add(spec, A3, B3)  # (W, L) each
 
     # -- window join: R = sum_w 2^(c*w) T_w --------------------------------
     if jax.default_backend() == "tpu":
