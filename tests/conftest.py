@@ -70,3 +70,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 MESH_TEST_FILES = ["test_mesh_prover.py", "test_multihost.py", "test_parallel.py"]
 if not os.environ.get("ZKDCAP_MESH_INNER"):
     collect_ignore = list(MESH_TEST_FILES)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: minutes-scale test (XLA:CPU compile-heavy); "
+        "kept in the default run — the persistent cache amortises it")

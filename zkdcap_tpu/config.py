@@ -40,6 +40,10 @@ class CircuitConfig:
     limb_bits: int = 88
     num_limbs: int = 3
     transcript: str = "blake2b"
+    # final KZG multi-open argument: "shplonk" (the reference's pick,
+    # base.rs:266-269) or "gwc" (GWC19; the reference exposes the choice as
+    # the compile-time ProverGWC/ProverSHPLONK type parameter)
+    multiopen: str = "shplonk"
 
     @staticmethod
     def from_json(s: str) -> "CircuitConfig":
@@ -57,6 +61,7 @@ class CircuitConfig:
         assert self.num_limbs == 3, "instance encoding requires 3 limbs"
         assert 88 <= self.limb_bits <= 91, "limb_bits outside reference range"
         assert self.lookup_bits < self.degree, "lookup table must fit the domain"
+        assert self.multiopen in ("shplonk", "gwc"), self.multiopen
 
 
 def load_config(path: str | None = None) -> CircuitConfig:

@@ -563,9 +563,18 @@ def _madd_scan_full_call(spec: CurveSpec, m_steps: int, m_cols: int,
 
     rows = m_cols // LANE
     sub = _fold_sub(m_cols)
-    sub = min(sub, 32)  # 9 (L, sub, 128) refs + double buffering in VMEM
-    while rows % sub:
-        sub //= 2
+    if not sub:
+        raise ValueError(f"no Mosaic-legal VMEM fold for m_cols={m_cols}; "
+                         "callers must guard on _fold_sub > 0")
+    if sub > 32:  # 9 (L, sub, 128) refs + double buffering in VMEM
+        shrunk = 32
+        while shrunk >= 8 and rows % shrunk:
+            shrunk //= 2
+        # the whole-array fold (sub == rows) stays legal even when > 32
+        # (second-to-last dim == full dim); only shrink to a fold that
+        # obeys the divisible-by-8 rule
+        if shrunk >= 8:
+            sub = shrunk
     kernel = _mk_madd_scan_full_kernel(spec, sub)
     grid = (rows // sub, m_steps)
     spec_c = pl.BlockSpec((1, L, sub, LANE), lambda rb, m: (m, 0, rb, 0))

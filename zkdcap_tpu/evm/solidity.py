@@ -13,8 +13,11 @@ expected-h formula, same SHPLONK check) and emits straight-line Solidity:
     SHPLONK check via the pairing precompile (0x08);
   * gate expressions compiled from the Expression AST into mulmod chains.
 
-The environment has no solc/EVM, so the emitted source is structurally
-complete but not EVM-executed here (see PARITY.md).
+The emitted source is compiled by the in-repo Solidity-subset compiler
+(evm/solc.py) and executed by the in-repo EVM interpreter (evm/interp.py) —
+`verify --evm` and the prover's debug self-verification run the contract on
+real calldata, mirroring the reference's solc+revm flow (base.rs:218-221,
+bin/src/main.rs:233-238; accept/reject tested in tests/test_evm_exec.py).
 """
 
 from __future__ import annotations

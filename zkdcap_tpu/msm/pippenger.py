@@ -58,7 +58,10 @@ import os as _os
 # scan / tree reduce (O(W * 2^(c-1))). c=13 balances these at N=2^20 on
 # v5e; ZKDCAP_MSM_C sweeps the trade-off without a code change.
 WINDOW_BITS = int(_os.environ.get("ZKDCAP_MSM_C", "13"))
-assert 8 <= WINDOW_BITS <= 16, "window digits must fit two 16-bit limbs"
+if not 8 <= WINDOW_BITS <= 16:  # not assert: must survive `python -O`
+    raise ValueError(
+        f"ZKDCAP_MSM_C={WINDOW_BITS} out of range [8, 16]: window digits "
+        "must fit two 16-bit limbs")
 NUM_WINDOWS = -(-256 // WINDOW_BITS)  # 20 windows of 13 bits
 NUM_BUCKETS = 1 << (WINDOW_BITS - 1)  # signed digits: |d| in [0, 2^(c-1)]
 L = NUM_LIMBS
@@ -175,9 +178,13 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes
     idxN = jnp.arange(N, dtype=jnp.int32)
     idxK = jnp.arange(K, dtype=jnp.int32)
     WP = _window_parallel(NUM_WINDOWS, G)
-    from ..curves.ec_kernels import BLOCK as EC_BLOCK, ec_add_select, pack_affine_rows
+    from ..curves.ec_kernels import (
+        BLOCK as EC_BLOCK, _fold_sub, ec_add_select, pack_affine_rows)
 
-    use_lm = (WP * G) % EC_BLOCK == 0 and jax.default_backend() == "tpu"
+    # _fold_sub > 0: the scan kernel needs a Mosaic-legal VMEM fold of the
+    # (WP*G)-wide stream (reachable only via non-default ZKDCAP_MSM_C/lanes)
+    use_lm = ((WP * G) % EC_BLOCK == 0 and _fold_sub(WP * G) > 0
+              and jax.default_backend() == "tpu")
     if use_lm:
         # u16-packed rows: the sorted-point gather is row-latency-bound, so
         # 64 B rows gather ~2x faster than 128 B ones; the scan kernel

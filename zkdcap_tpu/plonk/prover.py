@@ -20,6 +20,7 @@ golden tests).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -182,6 +183,82 @@ def _lookup_compress_program_for(pk: ProvingKey):
         return jax.jit(run)
 
     return _pk_program(pk, "lookup_compress", builder)
+
+
+def _lookup_permute_program_for(pk: ProvingKey):
+    """Round-2 multiset permute ON DEVICE (SURVEY.md §5.7: no per-proof host
+    sort in create_proof; previously 4.2 s of serial numpy per warm DCAP
+    prove).
+
+    Reproduces `_permute_lookup_pair_rows` BYTE-FOR-BYTE so proof bytes are
+    unchanged: the host version orders rows by numpy-void memcmp over the
+    little-endian u16-limb rows, which equals an unsigned lex compare of
+    byte-swapped limb pairs — so the device sort keys are
+    swap16(limb 2j) ‖ swap16(limb 2j+1) packed into 8 u32 keys. A single
+    stable merged sort of [A rows ‖ S rows] then yields, with cumsums and
+    fixed-shape scatters (no data-dependent shapes):
+      * A' order  = A rows in sorted order (host: argsort(a_ids, stable));
+      * first-occurrence A rows matched to the first equal S row (host:
+        s_order[group_start]);
+      * remaining A rows paired k-th↔k-th with the unused S rows in sorted
+        order (host: s_pos[~first] = s_order[sel]).
+    Returns (aorder, s_pos, valid) batched over lookups; `valid` is 0 when
+    some input value is missing from the table (host raises ValueError)."""
+    cs = pk.cs
+    n = 1 << pk.k
+    u = cs.usable_rows(n)
+
+    def builder(_pk):
+        def one(a_std, s_std):
+            c = jnp.concatenate([a_std[:u], s_std[:u]], axis=0)  # (2u, L)
+            m = 2 * u
+            sw = ((c & 0xFF) << 8) | (c >> 8)  # per-u16 byteswap (memcmp order)
+            keys = [(sw[:, 2 * j] << 16) | sw[:, 2 * j + 1]
+                    for j in range(NUM_LIMBS // 2)]
+            payload = jnp.arange(m, dtype=jnp.int32)
+            *skeys, pay = jax.lax.sort((*keys, payload),
+                                       num_keys=NUM_LIMBS // 2, is_stable=True)
+            K8 = jnp.stack(skeys, axis=1)  # (2u, 8) sorted rows
+            newgrp = jnp.any(K8 != jnp.roll(K8, 1, axis=0), axis=1).at[0].set(True)
+            pos = jnp.arange(m, dtype=jnp.int32)
+            start_pos = jax.lax.cummax(jnp.where(newgrp, pos, -1))
+            is_a = pay < u
+            ia = is_a.astype(jnp.int32)
+            ex_a = jnp.cumsum(ia) - ia  # A rows before this row
+            a_rank = ex_a - ex_a[start_pos]  # rank among A rows of the group
+            # first S row of each group (stable sort puts A before S within
+            # a value group, so the tag flips at most once per group)
+            prev_a = jnp.roll(is_a, 1).at[0].set(False)
+            is_first_s = (~is_a) & (newgrp | prev_a)
+            grp_first_s = jnp.full((m,), -1, jnp.int32).at[
+                jnp.where(is_first_s, jnp.cumsum(newgrp.astype(jnp.int32)) - 1, m)
+            ].set(pos, mode="drop")
+            gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+            match = grp_first_s[gid]  # first-S position for this row's group
+            grp_has_a = is_a[start_pos]
+            valid = ~jnp.any(is_a & (match < 0))
+            a_first = is_a & (a_rank == 0)
+            match_s = pay[jnp.maximum(match, 0)] - u  # original S index
+            # unused S rows (fillers), paired k-th<->k-th with non-first A rows
+            filler = (~is_a) & ~(is_first_s & grp_has_a)
+            needy = is_a & (a_rank > 0)
+            fi = filler.astype(jnp.int32)
+            ni = needy.astype(jnp.int32)
+            filler_rank = jnp.cumsum(fi) - fi
+            needy_rank = jnp.cumsum(ni) - ni
+            filler_pay = jnp.zeros((m,), jnp.int32).at[
+                jnp.where(filler, filler_rank, m)
+            ].set(pay - u, mode="drop")
+            s_val = jnp.where(a_first, match_s, filler_pay[needy_rank])
+            # compact to A'-row order (rank r = ex_a for A rows)
+            dest = jnp.where(is_a, ex_a, m)
+            aorder = jnp.zeros((u,), jnp.int32).at[dest].set(pay, mode="drop")
+            s_pos = jnp.zeros((u,), jnp.int32).at[dest].set(s_val, mode="drop")
+            return aorder, s_pos, valid
+
+        return jax.jit(jax.vmap(one))
+
+    return _pk_program(pk, "lookup_permute", builder)
 
 
 def _lookup_perm_program_for(pk: ProvingKey):
@@ -582,12 +659,24 @@ def create_proof(
                 list(instance_lagrange), _enc1(theta),
             )
             aorders, s_poss, a_blinds, s_blinds = [], [], [], []
-            for li, (a_comp, s_comp, a_std, s_std) in enumerate(comps):
-                a_std_h = np.asarray(jax.device_get(a_std))[:u]
-                s_std_h = np.asarray(jax.device_get(s_std))[:u]
-                aorder, s_pos = _permute_lookup_pair_rows(a_std_h, s_std_h)
-                aorders.append(jnp.asarray(aorder.astype(np.int32)))
-                s_poss.append(jnp.asarray(s_pos.astype(np.int32)))
+            if os.environ.get("ZKDCAP_DEVICE_PERMUTE", "1") != "0":
+                # device multiset permute: one batched program, no host sort
+                # and no (n, L)-row device->host pulls (VERDICT r03 item 5)
+                a_stack = jnp.stack([c[2] for c in comps])
+                s_stack = jnp.stack([c[3] for c in comps])
+                ao_b, sp_b, valid = _lookup_permute_program_for(pk)(a_stack, s_stack)
+                if not bool(np.all(np.asarray(jax.device_get(valid)))):
+                    raise ValueError("lookup failure: input value not in table")
+                aorders = [ao_b[i] for i in range(len(comps))]
+                s_poss = [sp_b[i] for i in range(len(comps))]
+            else:
+                for a_comp, s_comp, a_std, s_std in comps:
+                    a_std_h = np.asarray(jax.device_get(a_std))[:u]
+                    s_std_h = np.asarray(jax.device_get(s_std))[:u]
+                    aorder, s_pos = _permute_lookup_pair_rows(a_std_h, s_std_h)
+                    aorders.append(jnp.asarray(aorder.astype(np.int32)))
+                    s_poss.append(jnp.asarray(s_pos.astype(np.int32)))
+            for li, (a_comp, s_comp, _a_std, _s_std) in enumerate(comps):
                 a_blinds.append(_blind_vals(b"lkA%d" % li, n - u))
                 s_blinds.append(_blind_vals(b"lkS%d" % li, n - u))
                 lookup_data.append({"a": a_comp, "s": s_comp})

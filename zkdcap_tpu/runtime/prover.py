@@ -56,10 +56,13 @@ class ECDSAProver:
     K_DEFAULT = 18  # base.rs:134 gen_srs(18)
 
     def __init__(self, params_dir: str = "params", k: int = K_DEFAULT,
-                 transcript: str = "blake2b", lookup_bits: int | None = None):
+                 transcript: str = "blake2b", lookup_bits: int | None = None,
+                 multiopen: str = "shplonk"):
         self.params_dir = params_dir
         self.k = k
         self.transcript_kind = transcript
+        assert multiopen in ("shplonk", "gwc"), multiopen
+        self.multiopen = multiopen
         # lookup table must fit the domain: 2^17 table needs k >= 18
         self.lookup_bits = lookup_bits if lookup_bits is not None else min(17, k - 1)
         self._pk: ProvingKey | None = None
@@ -226,11 +229,16 @@ class ECDSAProver:
 
     def create_proof(self, inp: ECDSAInput, evm: bool = False, timing: bool = True,
                      shards: int | None = None,
-                     checkpoint: bool = False) -> bytes:
+                     checkpoint: bool = False,
+                     self_verify: bool | None = None) -> bytes:
         """shards: run the proof pipeline sharded across the first N local
         devices (parallel/ mesh path; proof bytes identical to 1-chip).
         checkpoint: persist per-round state under params_dir for resumable
-        proving (SURVEY.md §5.3); a re-run resumes automatically."""
+        proving (SURVEY.md §5.3); a re-run resumes automatically.
+        self_verify: verify the proof before returning — through the
+        generated+executed EVM contract on the evm path (the reference's
+        debug-build behaviour, base.rs:214-247). Default: the
+        ZKDCAP_SELF_VERIFY env var (reference analog of debug_assertions)."""
         import sys
         import time
 
@@ -281,10 +289,19 @@ class ECDSAProver:
             mesh = proving_mesh(shards)
         proof = create_proof(self.params(), pk, advice_dev, instances, tw,
                              timing=timing, mesh=mesh,
-                             checkpoint_dir=self.params_dir if checkpoint else None)
+                             checkpoint_dir=self.params_dir if checkpoint else None,
+                             multiopen=self.multiopen)
         # structured metrics artifact (SURVEY.md §5.5): one JSON-lines file
         # per params dir, appended per proof
         metrics.dump(os.path.join(self.params_dir, "metrics.jsonl"))
+        if self_verify is None:
+            self_verify = os.environ.get("ZKDCAP_SELF_VERIFY", "") == "1"
+        if self_verify:
+            # debug-build prove-then-verify (base.rs:214-247): the evm path
+            # compiles + EXECUTES the generated Solidity verifier
+            t = time.time()
+            assert self.verify(instances[0], proof, evm=evm), "self-verify failed"
+            _p("self-verify" + (" (evm executed)" if evm else ""), t)
         return proof
 
     def verifier_params(self) -> ParamsKZG:
@@ -300,8 +317,50 @@ class ECDSAProver:
                   g1=(1, 2))
         return ParamsKZG(srs=srs)
 
-    def verify(self, inp_instances: list[int], proof: bytes, evm: bool = False) -> bool:
+    def gen_evm_verifier(self) -> str:
+        """Solidity verifier source for this circuit (base.rs:251-271).
+        Needs only the vk + host G2 points — never loads the pk arrays."""
+        from ..evm.solidity import gen_evm_verifier
+
         vk = self.load_vk()
-        kind = "keccak" if evm else self.transcript_kind
+        return gen_evm_verifier(self.verifier_params(), vk, num_instances=15,
+                                multiopen=self.multiopen)
+
+    def _evm_bytecode(self) -> bytes:
+        """Runtime bytecode of the generated verifier, cached per vk under
+        params_dir (the reference re-runs solc each time, base.rs:218; the
+        cache keeps `verify --evm` interactive)."""
+        from ..evm.solc import compile_solidity
+
+        path = os.path.join(self.params_dir, f"evm_verifier_k{self.k}_{self.multiopen}.bin")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    return f.read()
+            except OSError:
+                pass
+        code = compile_solidity(self.gen_evm_verifier())
+        os.makedirs(self.params_dir, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(code)
+        return code
+
+    def verify(self, inp_instances: list[int], proof: bytes, evm: bool = False) -> bool:
+        """evm=True compiles the generated Solidity verifier and EXECUTES it
+        on the proof calldata, exactly like the reference's verify path
+        (bin/src/main.rs:233-238: gen_evm_verifier -> compile_solidity ->
+        deploy_and_call)."""
+        if evm:
+            from ..evm.calldata import encode_calldata
+            from ..evm.interp import EvmRevert, deploy_and_call
+
+            code = self._evm_bytecode()
+            try:
+                out = deploy_and_call(code, encode_calldata(inp_instances, proof))
+            except EvmRevert:
+                return False
+            return out == b"\x01"
+        vk = self.load_vk()
         return verify_proof(self.verifier_params(), vk, [inp_instances], proof,
-                            transcript_kind=kind)
+                            transcript_kind=self.transcript_kind,
+                            multiopen=self.multiopen)
