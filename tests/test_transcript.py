@@ -66,6 +66,39 @@ def test_blake2b_follows_halo2_scheme():
     assert got == int.from_bytes(h.digest(), "little") % BN254_FR.p
 
 
+def test_poseidon_transcript_schedule_pinned():
+    """Known-answer pin of the FULL absorb/squeeze schedule (VERDICT r03
+    item 10): a fixed transcript round-trip (scalar, point, challenge,
+    scalar, point, 2 challenges) must reproduce these exact challenges.
+
+    The vectors are SELF-GENERATED (committed 2026-08-20) — they pin the
+    schedule against accidental change, they do not prove snark-verifier
+    parity (no Rust offline; see PARITY.md 'Poseidon transcript status'
+    for exactly what is and is not externally verified and for the 3-line
+    upstream check to run when a Rust toolchain is available)."""
+    from zkdcap_tpu.curves import BN254_G1
+
+    tw = TranscriptWriter("poseidon")
+    tw.common_scalar(42)
+    tw.write_point(BN254_G1.mul(3, BN254_G1.g))
+    c1 = tw.squeeze_challenge()
+    tw.write_scalar(123456789)
+    tw.write_point(BN254_G1.mul(5, BN254_G1.g))
+    c2 = tw.squeeze_challenge()
+    c3 = tw.squeeze_challenge()  # squeeze with empty buffer re-permutes
+    assert c1 == 0x1794B00795BA8DCE80607D54A4339B6D686E16180DCCCDB97AD44473CBCA709F
+    assert c2 == 0x2DDA8DFE3998A98F7EEB4A39E83E4F7EDF04E143669912D8B86BCD6B8A3435D8
+    assert c3 == 0x02B5E0A41080CEC42B8365F7DC9E804884F537096FE1180A73FBFBB052AD1EF6
+    # raw sponge: absorb 1..5 (rate 2 -> three blocks), squeeze twice
+    from zkdcap_tpu.transcript.poseidon import PoseidonSponge
+
+    s = PoseidonSponge()
+    for v in (1, 2, 3, 4, 5):
+        s.absorb(v)
+    assert s.squeeze() == 0x2510A4C7B638C20E107B82055ACC09A718A9D679363E8E2228BB26EA1213C82D
+    assert s.squeeze() == 0x1542D2F2D354E8424F6FC4BB4663C5E5018B1D8F0301A9148B5524C4C8C01F21
+
+
 def test_poseidon_constants_match_published_reference_table():
     """Grain-LFSR output vs the PUBLISHED Poseidon reference table.
 

@@ -67,9 +67,20 @@ class QuoteInput:
         )
 
 
-def build_quote_trace(inp: QuoteInput, lookup_bits: int = 16) -> Context:
+def trace_inputs(inp: QuoteInput) -> list[int]:
+    """Flat witness-replay input vector (must match build_quote_trace's
+    tracer.input order)."""
+    return (list(inp.isv_report) + list(inp.qe3_report)
+            + [inp.attest_pub[0], inp.attest_pub[1],
+               inp.isv_sig[0], inp.isv_sig[1],
+               inp.pck_pub[0], inp.pck_pub[1],
+               inp.qe_sig[0], inp.qe_sig[1]])
+
+
+def build_quote_trace(inp: QuoteInput, lookup_bits: int = 16,
+                      tracer=None) -> Context:
     assert len(inp.isv_report) == REPORT_LEN and len(inp.qe3_report) == REPORT_LEN
-    ctx = Context()
+    ctx = Context(tracer=tracer)
     gate = FlexGate(ctx)
     rc = RangeChip(gate, lookup_bits)
     fp = BigIntChip(rc, SECP256R1.p)
@@ -77,34 +88,42 @@ def build_quote_trace(inp: QuoteInput, lookup_bits: int = 16) -> Context:
     ecc = EccChip(fp, SECP256R1)
     sha = Sha256Chip(gate, rc)
 
-    def load_bytes(data: bytes) -> list[int]:
+    def trace_val(v: int):
+        return tracer.input(v) if tracer is not None else v
+
+    def load_bytes(vals) -> list[int]:
         cells = []
-        for b in data:
+        for b in vals:
             c = ctx.push(b)
             rc.range_check(c, 8)
             cells.append(c)
         return cells
 
-    isv_cells = load_bytes(inp.isv_report)
-    qe_cells = load_bytes(inp.qe3_report)
+    isv_vals = [trace_val(b) for b in inp.isv_report]
+    qe_vals = [trace_val(b) for b in inp.qe3_report]
+    isv_cells = load_bytes(isv_vals)
+    qe_cells = load_bytes(qe_vals)
 
     # 1. isv_report signature under the attestation key
-    d1 = sha.digest_bytes(isv_cells, list(inp.isv_report))
+    d1 = sha.digest_bytes(isv_cells, isv_vals)
     m1 = _crt_from_be_bytes(fq, gate, [c for c, _ in d1], [v for _, v in d1])
-    ak = ecc.load_private(inp.attest_pub, check_on_curve=True)
-    r1 = fq.load_private(inp.isv_sig[0])
-    s1 = fq.load_private(inp.isv_sig[1])
+    ak_xy = (trace_val(inp.attest_pub[0]), trace_val(inp.attest_pub[1]))
+    ak = ecc.load_private(ak_xy, check_on_curve=True)
+    r1 = fq.load_private(trace_val(inp.isv_sig[0]))
+    s1 = fq.load_private(trace_val(inp.isv_sig[1]))
     gate.assert_const(ecdsa_verify_no_pubkey_check(ecc, fq, ak, r1, s1, m1), 1)
 
     # 2. attestation-key binding: qe3.report_data == sha256(ak.x || ak.y)
     #    ak coordinate bytes derived from the loaded CRT limbs (exact binding)
     ak_bytes_cells = []
     ak_bytes_vals = []
-    for crt, val in ((ak.x, inp.attest_pub[0]), (ak.y, inp.attest_pub[1])):
-        coord_bytes = val.to_bytes(32, "big")
+    for crt, val in ((ak.x, ak_xy[0]), (ak.y, ak_xy[1])):
+        # big-endian coordinate bytes via shifts (tape-traceable, unlike
+        # int.to_bytes which a TInt proxy cannot intercept)
+        coord_bytes = [(val >> (8 * (31 - i))) & 0xFF for i in range(32)]
         cells = load_bytes(coord_bytes)
         # bind: recompose bytes into the CRT limbs
-        bound = _crt_from_be_bytes(fp, gate, cells, list(coord_bytes))
+        bound = _crt_from_be_bytes(fp, gate, cells, coord_bytes)
         fp.assert_equal(bound, crt)
         ak_bytes_cells.extend(cells)
         ak_bytes_vals.extend(coord_bytes)
@@ -113,11 +132,12 @@ def build_quote_trace(inp: QuoteInput, lookup_bits: int = 16) -> Context:
         gate.assert_equal(cell, qe_cells[REPORT_DATA_OFF + i])
 
     # 3. qe3_report signature under the PCK key
-    d2 = sha.digest_bytes(qe_cells, list(inp.qe3_report))
+    d2 = sha.digest_bytes(qe_cells, qe_vals)
     m2 = _crt_from_be_bytes(fq, gate, [c for c, _ in d2], [v for _, v in d2])
-    pck = ecc.load_private(inp.pck_pub, check_on_curve=True)
-    r2 = fq.load_private(inp.qe_sig[0])
-    s2 = fq.load_private(inp.qe_sig[1])
+    pck = ecc.load_private((trace_val(inp.pck_pub[0]), trace_val(inp.pck_pub[1])),
+                           check_on_curve=True)
+    r2 = fq.load_private(trace_val(inp.qe_sig[0]))
+    s2 = fq.load_private(trace_val(inp.qe_sig[1]))
     gate.assert_const(ecdsa_verify_no_pubkey_check(ecc, fq, pck, r2, s2, m2), 1)
 
     # 4. measurement comparisons (public constants)

@@ -140,6 +140,102 @@ def cmd_dcap_verify(args):
     sys.exit(0 if ok else 1)
 
 
+def _chain_input(args):
+    """--input JSON: {"links": [{"tbs": hex, "r": hex, "s": hex,
+    "pubkey_offset": N}, ...], "root_pubkey": [hex, hex]}; default: the
+    Intel-leaf demo chain."""
+    from .circuits.cert_chain import (
+        CertChainInput, CertLink, make_intel_demo_chain)
+
+    if not getattr(args, "input", None):
+        return make_intel_demo_chain()
+    import json as _json
+
+    with open(args.input) as f:
+        d = _json.load(f)
+    links = [
+        CertLink(tbs=bytes.fromhex(l["tbs"].removeprefix("0x")),
+                 r=int(l["r"], 16), s=int(l["s"], 16),
+                 pubkey_offset=l["pubkey_offset"])
+        for l in d["links"]
+    ]
+    root = tuple(int(v, 16) for v in d["root_pubkey"])
+    return CertChainInput(links=links, root_pubkey=root)
+
+
+def _quote_input(args):
+    """--input JSON with hex report/sig/key fields; default: demo quote."""
+    from .circuits.quote import QuoteInput, make_demo_quote
+
+    if not getattr(args, "input", None):
+        return make_demo_quote()
+    import json as _json
+
+    with open(args.input) as f:
+        d = _json.load(f)
+    hx = lambda s: bytes.fromhex(s.removeprefix("0x"))
+    pair = lambda v: (int(v[0], 16), int(v[1], 16))
+    return QuoteInput(
+        isv_report=hx(d["isv_report"]), qe3_report=hx(d["qe3_report"]),
+        attest_pub=pair(d["attest_pub"]), isv_sig=pair(d["isv_sig"]),
+        qe_sig=pair(d["qe_sig"]), pck_pub=pair(d["pck_pub"]),
+        mrenclave=hx(d["mrenclave"]), mrsigner=hx(d["mrsigner"]),
+        min_cpusvn=hx(d["min_cpusvn"]),
+    )
+
+
+def _roadmap_prove(args, prover, inp, tag):
+    assert inp.verify_native(), f"{tag} input does not verify natively"
+    proof = prover.create_proof(inp, shards=args.shards,
+                                checkpoint=args.checkpoint)
+    out = "0x" + proof.hex()
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+        print(f"{tag} proof written to {args.output} ({len(proof)} bytes)")
+    else:
+        print(out)
+
+
+def cmd_cert_chain_prove(args):
+    from .runtime.chain_provers import CertChainProver
+
+    inp = _chain_input(args)
+    prover = CertChainProver(params_dir=args.params_dir, k=args.k,
+                             structure=inp)
+    _roadmap_prove(args, prover, inp, "cert-chain")
+
+
+def cmd_cert_chain_verify(args):
+    from .runtime.chain_provers import CertChainProver
+
+    proof = bytes.fromhex(_read_raw_or_file(args.proof))
+    prover = CertChainProver(params_dir=args.params_dir, k=args.k,
+                             structure=_chain_input(args))
+    ok = prover.verify(proof)
+    print("valid" if ok else "INVALID")
+    sys.exit(0 if ok else 1)
+
+
+def cmd_quote_prove(args):
+    from .runtime.chain_provers import QuoteProver
+
+    inp = _quote_input(args)
+    prover = QuoteProver(params_dir=args.params_dir, k=args.k, structure=inp)
+    _roadmap_prove(args, prover, inp, "quote")
+
+
+def cmd_quote_verify(args):
+    from .runtime.chain_provers import QuoteProver
+
+    proof = bytes.fromhex(_read_raw_or_file(args.proof))
+    prover = QuoteProver(params_dir=args.params_dir, k=args.k,
+                         structure=_quote_input(args))
+    ok = prover.verify(proof)
+    print("valid" if ok else "INVALID")
+    sys.exit(0 if ok else 1)
+
+
 def cmd_dcap_mock(args):
     from .chips import CircuitBuilder
     from .circuits.dcap import build_dcap_trace, load_demo_input
@@ -196,6 +292,14 @@ def main(argv=None):
     p.add_argument("--output")
     p = sub.add_parser("dcap-verify")
     p.add_argument("--proof", required=True)
+    for name in ("cert-chain-prove", "quote-prove"):
+        p = sub.add_parser(name)
+        p.add_argument("--input", help="JSON input (default: demo data)")
+        p.add_argument("--output")
+    for name in ("cert-chain-verify", "quote-verify"):
+        p = sub.add_parser(name)
+        p.add_argument("--input", help="JSON input (default: demo data)")
+        p.add_argument("--proof", required=True)
 
     args = ap.parse_args(argv)
     # guard on missing params dir like the reference (main.rs:256-263)
@@ -214,6 +318,10 @@ def main(argv=None):
         "dcap-mock": cmd_dcap_mock,
         "dcap-prove": cmd_dcap_prove,
         "dcap-verify": cmd_dcap_verify,
+        "cert-chain-prove": cmd_cert_chain_prove,
+        "cert-chain-verify": cmd_cert_chain_verify,
+        "quote-prove": cmd_quote_prove,
+        "quote-verify": cmd_quote_verify,
     }[args.cmd](args)
 
 
