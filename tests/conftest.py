@@ -67,7 +67,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # a fresh process. Isolation also keeps the main process's persistent cache
 # un-poisoned (see mesh.bypass_multidevice_compile_cache). The inner run
 # sets ZKDCAP_MESH_INNER=1 to re-enable collection.
-MESH_TEST_FILES = ["test_mesh_prover.py", "test_multihost.py", "test_parallel.py"]
+MESH_TEST_FILES = ["test_mesh_prover.py", "test_mesh_real_circuit.py",
+                   "test_multihost.py", "test_parallel.py"]
 if not os.environ.get("ZKDCAP_MESH_INNER"):
     collect_ignore = list(MESH_TEST_FILES)
 

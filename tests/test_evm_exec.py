@@ -9,6 +9,8 @@ against real keccak-transcript proof calldata — accept on the valid proof,
 revert on any tampered byte (VERDICT round-1 item 4).
 """
 
+import os
+
 import pytest
 
 from zkdcap_tpu.commit import ParamsKZG, gen_srs
@@ -122,6 +124,72 @@ def test_generated_verifier_rejects_tampered_bytes(evm_proof):
     # a tampered byte anywhere in the proof must revert (sample positions
     # across commitments / evals / multiopen)
     for frac in (0.1, 0.45, 0.8, 0.97):
+        bad = bytearray(proof)
+        bad[int(len(bad) * frac)] ^= 1
+        with pytest.raises(EvmRevert):
+            deploy_and_call(code, encode_calldata(inst, bytes(bad)))
+
+
+# ---------------------------------------------------------------------------
+# the REAL k=18 15-instance verifier, compiled and executed (VERDICT r03
+# item 3: previously only the K=4 toy contract had ever been run)
+# ---------------------------------------------------------------------------
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+@pytest.fixture(scope="module")
+def k18_contract():
+    import json
+
+    proof_path = os.path.join(ASSETS, "p256_evm_proof.hex")
+    if not os.path.exists(proof_path):
+        pytest.skip("assets/p256_evm_proof.hex not generated yet "
+                    "(scripts/gen_evm_golden.py)")
+    from zkdcap_tpu.chips import CircuitBuilder, Pinning
+    from zkdcap_tpu.circuits.p256_ecdsa import build_ecdsa_trace
+    from zkdcap_tpu.commit.kzg import ParamsKZG
+    from zkdcap_tpu.commit.srs import SRS, _dev_tau
+    from zkdcap_tpu.curves.pairing import G2_GEN, g2_mul
+    from zkdcap_tpu.plonk.keygen import VerifyingKey
+    from zkdcap_tpu.runtime.prover import SAMPLE_INPUT
+    from zkdcap_tpu.evm.solidity import gen_evm_verifier
+
+    with open(os.path.join(ASSETS, "vk_k18.json")) as f:
+        vk_data = json.load(f)
+    with open(os.path.join(ASSETS, "pinning_k18.json")) as f:
+        pinning = Pinning.from_json(f.read())
+    with open(proof_path) as f:
+        proof = bytes.fromhex(f.read().strip().removeprefix("0x"))
+    trace = build_ecdsa_trace(SAMPLE_INPUT, lookup_bits=17)
+    compiled = CircuitBuilder(18, lookup_bits=17).compile(trace, pinning)
+    vk = VerifyingKey(
+        k=18, cs=compiled.cs,
+        fixed_commitments=[tuple(c) if c else None
+                           for c in vk_data["fixed_commitments"]],
+        permutation_commitments=[tuple(c) if c else None
+                                 for c in vk_data["permutation_commitments"]],
+        transcript_kind="keccak",
+    )
+    tau = _dev_tau()
+    params = ParamsKZG(srs=SRS(k=18, g1_powers=None, g2=G2_GEN,
+                               s_g2=g2_mul(tau, G2_GEN), g1=(1, 2)))
+    code = compile_solidity(gen_evm_verifier(params, vk, num_instances=15))
+    return code, SAMPLE_INPUT.as_instances(), proof
+
+
+@pytest.mark.slow
+def test_k18_real_verifier_accepts(k18_contract):
+    code, inst, proof = k18_contract
+    assert deploy_and_call(code, encode_calldata(inst, proof)) == b"\x01"
+
+
+@pytest.mark.slow
+def test_k18_real_verifier_rejects(k18_contract):
+    code, inst, proof = k18_contract
+    with pytest.raises(EvmRevert):
+        deploy_and_call(code, encode_calldata([inst[0] + 1] + inst[1:], proof))
+    for frac in (0.2, 0.65, 0.95):
         bad = bytearray(proof)
         bad[int(len(bad) * frac)] ^= 1
         with pytest.raises(EvmRevert):

@@ -26,7 +26,8 @@ def test_mesh_file_isolated(fname):
     env["ZKDCAP_MESH_INNER"] = "1"
     res = subprocess.run(
         [sys.executable, "-m", "pytest", os.path.join(_HERE, fname), "-q"],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True,
+        timeout=3600 if fname == "test_mesh_real_circuit.py" else 1800,
         cwd=os.path.join(_HERE, ".."), env=env,
     )
     assert res.returncode == 0, (

@@ -7,6 +7,9 @@ Subcommands (mirroring the reference's `p256-ecdsa` subcommand set):
   gen-calldata  EVM calldata = instances ++ proof (main.rs:171)
   gen-solidity  Solidity verifier source (main.rs:181-189)
   dcap-mock     run the DCAP demo circuit through the constraint checker
+  dcap-prove / dcap-verify            full DCAP proof lifecycle (k=17)
+  cert-chain-prove / cert-chain-verify  roadmap: CA-chain circuit (2xECDSA+SHA)
+  quote-prove / quote-verify            roadmap: full-quote circuit (README.md:23-46)
 
 Arguments accept 0x-literals or file paths (read_raw_or_file, main.rs:111-120).
 """
@@ -302,6 +305,11 @@ def main(argv=None):
         p.add_argument("--proof", required=True)
 
     args = ap.parse_args(argv)
+    # persistent compile cache: without it every CLI invocation pays the
+    # full multi-minute remote-XLA compile bill again (VERDICT r03 item 7)
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # guard on missing params dir like the reference (main.rs:256-263)
     if args.cmd != "setup" and not os.path.isdir(args.params_dir):
         print(
