@@ -35,6 +35,30 @@ def test_roundtrip(log_n):
     assert back == coeffs
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("log_n", [12, 13])  # even (6/6) and odd (6/7) splits
+def test_four_step_matches_flat_and_roundtrips(log_n):
+    """The two-pass four-step path (in-VMEM bit-reversal prologue + fused
+    inter-pass twiddle epilogue) vs the flat radix-2 path, exact; plus an
+    inverse roundtrip. Runs the pallas kernels in interpret mode on CPU —
+    the same code Mosaic compiles on TPU."""
+    from zkdcap_tpu.ntt.ntt import _ntt_impl, ntt_four_step, twiddle_table
+
+    n = 1 << log_n
+    coeffs = [RNG.randrange(P) for _ in range(n)]
+    x = mont.encode_ints(BN254_FR, coeffs)
+    got = mont.decode_ints(BN254_FR, ntt_four_step(BN254_FR, x, False))
+    exp = mont.decode_ints(
+        BN254_FR,
+        _ntt_impl(BN254_FR, x, twiddle_table(BN254_FR, log_n, False), log_n, False),
+    )
+    assert got == exp
+    back = mont.decode_ints(
+        BN254_FR, ntt_four_step(BN254_FR, ntt_four_step(BN254_FR, x, False), True)
+    )
+    assert back == coeffs
+
+
 def test_extended_coset():
     k, ek = 3, 5
     d = Domain(BN254_FR, k, ek)

@@ -254,17 +254,52 @@ FUSED_CHUNK = 2048
 FUSED_STAGES = 11  # log2(FUSED_CHUNK)
 
 
-def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int):
+def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int,
+                          bitrev_in: bool = False, post_mul: bool = False):
+    """bitrev_in: permute lanes i -> bitrev_{n_stages}(i) within each
+    2^n_stages-aligned group IN VMEM before the stages (kills the HBM
+    bit-reverse gather: 5 lane-roll pair-swaps ~= one stage's roll cost).
+    post_mul: one extra CIOS by a per-lane operand after the last stage
+    (the four-step inter-pass twiddles, saving a separate kernel launch +
+    a full HBM round-trip of the array)."""
     from jax.experimental.pallas import tpu as pltpu
 
     p_limbs = [int(v) for v in params.p_limbs]
     n0inv = params.n0inv
 
-    def kernel(x_ref, tw_ref, hi_ref, out_ref):
+    def kernel(x_ref, tw_ref, hi_ref, *rest):
         # x_ref: (L, chunk); tw_ref: (n_stages, L, chunk); hi_ref: (n_stages, 1, chunk)
+        # rest: [ptw_ref (L, chunk)] if post_mul; then out_ref
         # rows kept 2D (1, chunk): 1D vectors don't lower (tpu.dynamic_rotate)
+        ptw_ref = rest[0] if post_mul else None
+        out_ref = rest[-1]
         x = [x_ref[i : i + 1, :] for i in range(L)]
         zero = jnp.zeros_like(x[0])
+
+        if bitrev_in:
+            # lane index i = g*2^S + b: reverse the low S bits of b by
+            # swapping bit pairs (a, S-1-a). A swap moves a lane by
+            # +-delta = +-(2^b - 2^a); both destinations stay inside the
+            # lane's own 2^S group, so cyclic rolls are safe.
+            S = n_stages
+            lane = jax.lax.broadcasted_iota(jnp.uint32, (1, chunk), 1)
+            for a in range(S // 2):
+                b = S - 1 - a
+                if a == b:
+                    continue
+                delta = (1 << b) - (1 << a)
+                bit_a = (lane >> a) & 1
+                bit_b = (lane >> b) & 1
+                from_lo = jnp.logical_and(bit_a == 0, bit_b == 1)  # i' = i - delta
+                from_hi = jnp.logical_and(bit_a == 1, bit_b == 0)  # i' = i + delta
+                x = [
+                    jnp.where(
+                        from_lo,
+                        pltpu.roll(v, delta, 1),  # lane i <- v[i - delta]
+                        jnp.where(from_hi, pltpu.roll(v, chunk - delta, 1), v),
+                    )
+                    for v in x
+                ]
 
         def cios(a, b):
             t = [zero] * L
@@ -341,6 +376,10 @@ def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int):
             minus = fsub(part, y)  # hi: lo - w*hi
             x = [jnp.where(is_hi, mn, pl) for mn, pl in zip(minus, plus)]
 
+        if post_mul:
+            ptw = [ptw_ref[i : i + 1, :] for i in range(L)]
+            x = cios(x, ptw)
+
         for i in range(L):
             out_ref[i : i + 1, :] = x[i]
 
@@ -348,17 +387,22 @@ def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int):
 
 
 @functools.cache
-def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret: bool):
-    kernel = _mk_fused_pass_kernel(params, n_stages, FUSED_CHUNK)
+def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret: bool,
+                     bitrev_in: bool = False, post_mul: bool = False):
+    kernel = _mk_fused_pass_kernel(params, n_stages, FUSED_CHUNK,
+                                   bitrev_in=bitrev_in, post_mul=post_mul)
     grid = (n_cols // FUSED_CHUNK,)
     x_spec = pl.BlockSpec((L, FUSED_CHUNK), lambda i: (0, i))
     tw_spec = pl.BlockSpec((n_stages, L, FUSED_CHUNK), lambda i: (0, 0, 0))
     hi_spec = pl.BlockSpec((n_stages, 1, FUSED_CHUNK), lambda i: (0, 0, 0))
+    in_specs = [x_spec, tw_spec, hi_spec]
+    if post_mul:
+        in_specs.append(x_spec)  # per-lane post-multiply operand (L, n_cols)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((L, n_cols), jnp.uint32),
         grid=grid,
-        in_specs=[x_spec, tw_spec, hi_spec],
+        in_specs=in_specs,
         out_specs=x_spec,
         interpret=interpret,
     )

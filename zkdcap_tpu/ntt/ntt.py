@@ -189,15 +189,14 @@ def _four_step_twiddles(params: FieldParams, log_n: int, inverse: bool) -> jax.A
     return tw.T.copy()  # (L, n) limb-major
 
 
-@partial(jax.jit, static_argnums=(0, 7))
-def _four_step_run(params: FieldParams, at, tw, passA, passB, perm1, perm2,
-                   log_n: int):
-    """at: (L, n) limb-major natural order -> (L, n) transformed."""
-    from ..fields.pallas_mont import (
-        FUSED_CHUNK,
-        _fused_pass_call,
-        mont_mul_lm,
-    )
+@partial(jax.jit, static_argnums=(0, 5))
+def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int):
+    """at: (L, n) limb-major natural order -> (L, n) transformed.
+
+    Both bit-reversals happen IN VMEM inside the fused kernels (5 lane-roll
+    pair swaps each — no 2x full-array HBM gathers), and the inter-pass
+    twiddle multiply rides pass A's epilogue (no separate kernel launch)."""
+    from ..fields.pallas_mont import _fused_pass_call
 
     n = 1 << log_n
     log_n1, log_n2 = _four_step_split(log_n)
@@ -208,18 +207,17 @@ def _four_step_run(params: FieldParams, at, tw, passA, passB, perm1, perm2,
     tw1, hi1 = passA
     tw2, hi2 = passB
 
-    # pass A: size-N1 NTT over i for each column j
+    # pass A: size-N1 NTT over i for each column j (+ inter-pass twiddles,
+    # which include the 1/n scale when inverse)
     A = at.reshape(L, N1, N2)
     At = jnp.swapaxes(A, 1, 2)  # (L, N2, N1): row j holds i contiguous
-    At = jnp.take(At, perm1, axis=2)  # bit-reverse within each sub-NTT
     flat = At.reshape(L, n)
-    flat = _fused_pass_call(params, log_n1, n, interpret)(flat, tw1, hi1)
-    # inter-pass twiddles (+ 1/n for inverse) in one fused multiply
-    flat = mont_mul_lm(params, flat, tw)
+    flat = _fused_pass_call(params, log_n1, n, interpret,
+                            bitrev_in=True, post_mul=True)(flat, tw1, hi1, tw)
     # pass B: size-N2 NTT over j for each row k1
     B = jnp.swapaxes(flat.reshape(L, N2, N1), 1, 2)  # (L, N1, N2)
-    B = jnp.take(B, perm2, axis=2)
-    flat = _fused_pass_call(params, log_n2, n, interpret)(B.reshape(L, n), tw2, hi2)
+    flat = _fused_pass_call(params, log_n2, n, interpret,
+                            bitrev_in=True)(B.reshape(L, n), tw2, hi2)
     # natural order: out[k1 + N1*k2] = D[k1, k2]
     D = flat.reshape(L, N1, N2)
     return jnp.swapaxes(D, 1, 2).reshape(L, n)
@@ -245,9 +243,7 @@ def ntt_four_step(params: FieldParams, a: jax.Array, inverse: bool = False) -> j
     tw = _four_step_twiddles(params, log_n, inverse)
     passA = fused_pass_tables(params, log_n1, inverse)
     passB = fused_pass_tables(params, log_n2, inverse)
-    perm1 = jnp.asarray(bit_reverse_perm(log_n1))
-    perm2 = jnp.asarray(bit_reverse_perm(log_n2))
-    out = _four_step_run(params, a.T, tw, passA, passB, perm1, perm2, log_n)
+    out = _four_step_run(params, a.T, tw, passA, passB, log_n)
     return out.T
 
 
