@@ -255,26 +255,33 @@ FUSED_STAGES = 11  # log2(FUSED_CHUNK)
 
 
 def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int,
+                          sub: int = 1,
                           bitrev_in: bool = False, post_mul: bool = False):
     """bitrev_in: permute lanes i -> bitrev_{n_stages}(i) within each
     2^n_stages-aligned group IN VMEM before the stages (kills the HBM
     bit-reverse gather: 5 lane-roll pair-swaps ~= one stage's roll cost).
     post_mul: one extra CIOS by a per-lane operand after the last stage
     (the four-step inter-pass twiddles, saving a separate kernel launch +
-    a full HBM round-trip of the array)."""
+    a full HBM round-trip of the array).
+    sub: chunks processed per block, stacked in the SUBLANE dim — the VPU
+    tile is (8, 128), so (1, chunk) rows leave 7/8 of it idle; (8, chunk)
+    slabs run the same lane-wise rolls/butterflies on 8 independent chunks
+    at full occupancy (measured 198 ms -> see BENCH.md at 2^22)."""
     from jax.experimental.pallas import tpu as pltpu
 
     p_limbs = [int(v) for v in params.p_limbs]
     n0inv = params.n0inv
 
     def kernel(x_ref, tw_ref, hi_ref, *rest):
-        # x_ref: (L, chunk); tw_ref: (n_stages, L, chunk); hi_ref: (n_stages, 1, chunk)
-        # rest: [ptw_ref (L, chunk)] if post_mul; then out_ref
-        # rows kept 2D (1, chunk): 1D vectors don't lower (tpu.dynamic_rotate)
+        # x_ref: (L, sub, chunk); tw_ref: (n_stages, L, chunk);
+        # hi_ref: (n_stages, 1, chunk); rest: [ptw_ref (L, sub, chunk)] if
+        # post_mul; then out_ref. Twiddle/mask rows stay (1, chunk) and
+        # broadcast over the sublane dim; rolls act on the lane dim, which
+        # is identical for every sublane row.
         ptw_ref = rest[0] if post_mul else None
         out_ref = rest[-1]
-        x = [x_ref[i : i + 1, :] for i in range(L)]
-        zero = jnp.zeros_like(x[0])
+        x = [x_ref[i] for i in range(L)]  # (sub, chunk) each
+        zero = jnp.zeros((1, chunk), jnp.uint32)
 
         if bitrev_in:
             # lane index i = g*2^S + b: reverse the low S bits of b by
@@ -377,11 +384,11 @@ def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int,
             x = [jnp.where(is_hi, mn, pl) for mn, pl in zip(minus, plus)]
 
         if post_mul:
-            ptw = [ptw_ref[i : i + 1, :] for i in range(L)]
+            ptw = [ptw_ref[i] for i in range(L)]
             x = cios(x, ptw)
 
         for i in range(L):
-            out_ref[i : i + 1, :] = x[i]
+            out_ref[i] = jnp.broadcast_to(x[i], (sub, chunk))
 
     return kernel
 
@@ -389,23 +396,38 @@ def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int,
 @functools.cache
 def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret: bool,
                      bitrev_in: bool = False, post_mul: bool = False):
-    kernel = _mk_fused_pass_kernel(params, n_stages, FUSED_CHUNK,
+    n_chunks = n_cols // FUSED_CHUNK
+    sub = 8
+    while n_chunks % sub:
+        sub //= 2
+    kernel = _mk_fused_pass_kernel(params, n_stages, FUSED_CHUNK, sub=sub,
                                    bitrev_in=bitrev_in, post_mul=post_mul)
-    grid = (n_cols // FUSED_CHUNK,)
-    x_spec = pl.BlockSpec((L, FUSED_CHUNK), lambda i: (0, i))
+    grid = (n_chunks // sub,)
+    x_spec = pl.BlockSpec((L, sub, FUSED_CHUNK), lambda i: (0, i, 0))
     tw_spec = pl.BlockSpec((n_stages, L, FUSED_CHUNK), lambda i: (0, 0, 0))
     hi_spec = pl.BlockSpec((n_stages, 1, FUSED_CHUNK), lambda i: (0, 0, 0))
     in_specs = [x_spec, tw_spec, hi_spec]
     if post_mul:
-        in_specs.append(x_spec)  # per-lane post-multiply operand (L, n_cols)
-    return pl.pallas_call(
+        in_specs.append(x_spec)  # per-lane post-multiply operand
+    call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n_cols), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, n_chunks, FUSED_CHUNK), jnp.uint32),
         grid=grid,
         in_specs=in_specs,
         out_specs=x_spec,
         interpret=interpret,
     )
+
+    def wrapper(flat, tw, hi, *ptw):
+        # flat (L, n_cols) <-> (L, n_chunks, chunk): free reshapes, no data
+        # movement; the sublane stacking happens via the BlockSpec
+        folded = (flat.reshape(L, n_chunks, FUSED_CHUNK),)
+        if ptw:
+            folded += (ptw[0].reshape(L, n_chunks, FUSED_CHUNK),)
+        out = call(folded[0], tw, hi, *folded[1:])
+        return out.reshape(L, n_cols)
+
+    return wrapper
 
 
 @functools.cache
