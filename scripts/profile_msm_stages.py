@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import _enable_compile_cache, _np_scalars  # noqa: E402
+from bench import _dev_scalars, _enable_compile_cache  # noqa: E402
 
 _enable_compile_cache()
 from zkdcap_tpu.curves import BN254_G1  # noqa: E402
@@ -57,7 +57,7 @@ def main():
     import random
 
     rng = random.Random(1)
-    scal_std = jnp.asarray(_np_scalars(N, L))
+    scal_std = _dev_scalars(N, L)
     base_pts = [BN254_G1.mul(rng.randrange(1, 1 << 60), BN254_G1.g) for _ in range(64)]
     base = np.asarray(encode_points(G1_SPEC, base_pts))
     pts = jnp.asarray(np.tile(base, (N // base.shape[0], 1, 1)))

@@ -56,6 +56,28 @@ def test_gate_violation_detected():
     assert fails
 
 
+def test_gate_failure_names_annotated_columns():
+    """halo2-style localisation: failures print the builder's column
+    annotations (ConstraintSystem.annotate_column) next to each cell."""
+    ctx = Context()
+    g = FlexGate(ctx)
+    a = g.witness(7)
+    b = g.witness(11)
+    c = g.add(a, b)
+    ctx.cells[c] = 99
+    mp, compiled, _ = run_mock(ctx)
+    fails = mp.verify()
+    assert fails
+    msg = str(fails[0])
+    assert "'flex.0'" in msg and "'q_flex.0'" in msg
+    # annotations are cosmetic: not part of the canonical vk repr
+    from zkdcap_tpu.plonk.cs import Column
+
+    plain = compiled.cs.canonical_bytes()
+    compiled.cs.annotate_column(Column("advice", 0), "renamed")
+    assert compiled.cs.canonical_bytes() == plain
+
+
 def test_range_chip():
     ctx = Context()
     g = FlexGate(ctx)

@@ -131,19 +131,38 @@ class CircuitBuilder:
             pair_meta[name] = [max((cnt + u - 1) // u, 1) if cnt else 0, cnt]
 
         # --- columns -------------------------------------------------------
-        advice_cols = [cs.advice_column() for _ in range(num_advice)]
-        lookup_cols = [cs.advice_column() for _ in range(num_lookup_advice)]
-        spread_cols = [
-            (cs.advice_column(), cs.advice_column()) for _ in range(num_spread_advice)
+        def named(make, name):
+            c = make()
+            cs.annotate_column(c, name)
+            return c
+
+        advice_cols = [
+            named(cs.advice_column, f"flex.{i}") for i in range(num_advice)
         ]
-        selector_cols = [cs.fixed_column() for _ in range(num_advice)]
-        const_col = cs.fixed_column()
-        table_col = cs.fixed_column() if self.lookup_bits is not None else None
+        lookup_cols = [
+            named(cs.advice_column, f"range.{i}")
+            for i in range(num_lookup_advice)
+        ]
+        spread_cols = [
+            (named(cs.advice_column, f"spread.dense.{i}"),
+             named(cs.advice_column, f"spread.spread.{i}"))
+            for i in range(num_spread_advice)
+        ]
+        selector_cols = [
+            named(cs.fixed_column, f"q_flex.{i}") for i in range(num_advice)
+        ]
+        const_col = named(cs.fixed_column, "constants")
+        table_col = (
+            named(cs.fixed_column, "range_table")
+            if self.lookup_bits is not None else None
+        )
         if num_spread_advice:
-            spread_tbl_dense = cs.fixed_column()
-            spread_tbl_spread = cs.fixed_column()
+            spread_tbl_dense = named(cs.fixed_column, "spread_table.dense")
+            spread_tbl_spread = named(cs.fixed_column, "spread_table.spread")
         num_instance = 1 if ctx.instance_cells else 0
-        inst_col = cs.instance_column() if num_instance else None
+        inst_col = (
+            named(cs.instance_column, "instances") if num_instance else None
+        )
 
         # gates
         for ci in range(num_advice):
@@ -169,9 +188,14 @@ class CircuitBuilder:
             ncols = pair_meta[name][0]
             if ncols == 0:
                 continue
-            pair_tbl_cols[name] = (cs.fixed_column(), cs.fixed_column())
+            pair_tbl_cols[name] = (
+                named(cs.fixed_column, f"{name}_table.a"),
+                named(cs.fixed_column, f"{name}_table.b"),
+            )
             pair_adv_cols[name] = [
-                (cs.advice_column(), cs.advice_column()) for _ in range(ncols)
+                (named(cs.advice_column, f"{name}.a.{i}"),
+                 named(cs.advice_column, f"{name}.b.{i}"))
+                for i in range(ncols)
             ]
             ta, tb = pair_tbl_cols[name]
             for ca, cb in pair_adv_cols[name]:

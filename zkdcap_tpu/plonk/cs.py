@@ -53,6 +53,10 @@ class ConstraintSystem:
         self.permutation_columns: list[Column] = []
         # copy constraints: ((col_a, row_a), (col_b, row_b))
         self.copies: list[tuple[tuple[Column, int], tuple[Column, int]]] = []
+        # cosmetic column names for failure localisation (halo2's
+        # `annotate_column`); NOT part of canonical_bytes — two circuits
+        # differing only in annotations share a vk
+        self.annotations: dict[tuple[str, int], str] = {}
 
     # --- layout -------------------------------------------------------------
 
@@ -74,6 +78,18 @@ class ConstraintSystem:
     def enable_equality(self, col: Column) -> None:
         if col not in self.permutation_columns:
             self.permutation_columns.append(col)
+
+    def annotate_column(self, col: Column, name: str) -> None:
+        """Attach a human-readable name to a column (halo2
+        `ConstraintSystem::annotate_lookup_column` analog). Used only by
+        MockProver failure messages; never serialized into the vk."""
+        self.annotations[(col.kind, col.index)] = name
+
+    def column_name(self, kind: str, index: int) -> str:
+        """`advice[3]` or `advice[3]('a.limb0')` when annotated."""
+        base = f"{kind}[{index}]"
+        ann = self.annotations.get((kind, index))
+        return f"{base}({ann!r})" if ann else base
 
     # --- constraints --------------------------------------------------------
 

@@ -101,7 +101,8 @@ class MockProver:
                     # halo2-style localisation: name every cell the gate
                     # poly reads at the failing row, with its value
                     cells = ", ".join(
-                        f"{kind}[{ci}]@{(int(row) + rot) % self.n}"
+                        f"{self.cs.column_name(kind, ci)}"
+                        f"@{(int(row) + rot) % self.n}"
                         f"={hex(cols[kind][ci][(int(row) + rot) % self.n])}"
                         for kind, ci, rot in _poly_queries(poly)
                     )
@@ -156,7 +157,8 @@ class MockProver:
                 failures.append(
                     Failure(
                         "copy",
-                        f"({ca.kind}{ca.index},{ra})={va} != ({cb.kind}{cb.index},{rb})={vb}",
+                        f"({self.cs.column_name(ca.kind, ca.index)},{ra})={va}"
+                        f" != ({self.cs.column_name(cb.kind, cb.index)},{rb})={vb}",
                     )
                 )
                 if len(failures) >= max_failures:
