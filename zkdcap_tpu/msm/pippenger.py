@@ -54,14 +54,28 @@ from ..fields.params import NUM_LIMBS
 import os as _os
 
 # Window width c is tunable (8..16): fewer windows means fewer sorts,
-# gathers and scan steps (all O(W*N)), more buckets means a longer suffix
-# scan / tree reduce (O(W * 2^(c-1))). c=13 balances these at N=2^20 on
-# v5e; ZKDCAP_MSM_C sweeps the trade-off without a code change.
-WINDOW_BITS = int(_os.environ.get("ZKDCAP_MSM_C", "13"))
-if not 8 <= WINDOW_BITS <= 16:  # not assert: must survive `python -O`
+# gathers and scan steps (all O(W*N)), more buckets means a longer
+# compaction / suffix scan / tree reduce (O(W * 2^(c-1))). Measured on
+# v5e (BENCH.md round 4): at 2^20 c=16 wins (697 ms vs 731 ms at c=13)
+# but at 2^16 the bucket stages dominate and c=16 LOSES 1.8x — so the
+# width is chosen per MSM size unless ZKDCAP_MSM_C pins it.
+_ENV_C = _os.environ.get("ZKDCAP_MSM_C")
+if _ENV_C is not None and not 8 <= int(_ENV_C) <= 16:
+    # not assert: must survive `python -O`
     raise ValueError(
-        f"ZKDCAP_MSM_C={WINDOW_BITS} out of range [8, 16]: window digits "
+        f"ZKDCAP_MSM_C={_ENV_C} out of range [8, 16]: window digits "
         "must fit two 16-bit limbs")
+
+
+def _auto_c(n: int) -> int:
+    if _ENV_C is not None:
+        return int(_ENV_C)
+    return 16 if n >= (1 << 20) else 13
+
+
+# Module-level view of the default width (scripts introspect these; the
+# per-size choice inside msm_device takes precedence for large MSMs).
+WINDOW_BITS = int(_ENV_C) if _ENV_C is not None else 13
 NUM_WINDOWS = -(-256 // WINDOW_BITS)  # 20 windows of 13 bits
 NUM_BUCKETS = 1 << (WINDOW_BITS - 1)  # signed digits: |d| in [0, 2^(c-1)]
 L = NUM_LIMBS
@@ -161,19 +175,25 @@ def msm_ladder(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array):
     return jax.lax.fori_loop(0, 256, step, ec_inf(spec))
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array, lanes: int):
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
+               lanes: int, c: int = 0):
     """points: uint32[N,2,L] Montgomery affine ((0,0)=inf); scalars_std:
     uint32[N,16] standard form. N must be a multiple of `lanes`.
+    c: signed-window width (0 = size-tuned default, see _auto_c).
     Returns a single projective Point."""
     f = spec.field
     N = points.shape[0]
+    c = c or _auto_c(N)
+    NUM_WINDOWS = -(-256 // c)
+    NUM_BUCKETS = 1 << (c - 1)
+    WINDOW_BITS = c
     G = lanes
     M = N // G
     assert G * M == N
     K = min(N, G + NUM_BUCKETS)  # upper bound on per-window run-end count
 
-    digits = _signed_digits(scalars_std)  # (W, N) signed
+    digits = _signed_digits(scalars_std, c)  # (W, N) signed
 
     idxN = jnp.arange(N, dtype=jnp.int32)
     idxK = jnp.arange(K, dtype=jnp.int32)
