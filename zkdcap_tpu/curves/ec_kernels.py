@@ -16,6 +16,7 @@ select semantics (static `fallback`):
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -556,6 +557,125 @@ def _mk_madd_scan_full_kernel(spec: CurveSpec, sub: int):
     return kernel
 
 
+def _mk_madd_scan_full_kernel_r12(spec: CurveSpec, sub: int):
+    """Redundant 12-bit-limb variant of the whole-scan mixed-add kernel
+    (fields/r12.py): the RCB'15 interior runs 22x12-bit digits through
+    cios256 (~2.2k u32 ops/mul vs ~2.9k incl. the lo/hi product splits),
+    with explicit 2p-reductions (csub) keeping every multiplier operand
+    below the 2^256 digit-decomposition capacity (~5.29p). The
+    accumulator lives in r12 scratch across all M steps; outputs are
+    packed back to 16-bit planes with coordinates < 2p — downstream
+    complete formulas and decode are representation-agnostic mod p, so
+    MSM results (and proofs) are unchanged.
+
+    Dataflow, select semantics and mask rows match
+    _mk_madd_scan_full_kernel exactly.
+    """
+    params: FieldParams = spec.field
+    from ..fields import r12 as r12m
+    from ..fields.params import R as RADIX
+
+    p = params.p
+    L12 = r12m.L12
+    b3_12 = r12m.int_to_limbs12(spec.b3 * RADIX % p)
+    one_12 = r12m.int_to_limbs12(RADIX % p)
+    cios256 = r12m.make_cios256(params)
+    _, csub, add_lazy, sub_lazy = r12m.make_ops(params)
+
+    def kernel(pr, mr, ox, oy, oz, ax, ay, az):
+        m_id = pl.program_id(1)
+
+        @pl.when(m_id == 0)
+        def _init():
+            zero = jnp.zeros((sub, LANE), jnp.uint32)
+            for i in range(L12):
+                ax[i] = zero
+                ay[i] = jnp.full((sub, LANE), one_12[i], jnp.uint32)
+                az[i] = zero
+
+        X1 = [ax[i] for i in range(L12)]
+        Y1 = [ay[i] for i in range(L12)]
+        Z1 = [az[i] for i in range(L12)]
+        # u16-packed planes -> 16-bit digit planes -> 12-bit digit planes
+        X16, Y16 = [], []
+        for j in range(L // 2):
+            v = pr[0, j]
+            X16.append(v & jnp.uint32(0xFFFF))
+            X16.append(v >> 16)
+        for j in range(L // 2):
+            v = pr[0, L // 2 + j]
+            Y16.append(v & jnp.uint32(0xFFFF))
+            Y16.append(v >> 16)
+        X2 = r12m.unpack16(X16)  # canonical, < p
+        Y2 = r12m.unpack16(Y16)
+        b3v = [jnp.full_like(X2[0], c) for c in b3_12]
+        onev = [jnp.full_like(X2[0], c) for c in one_12]
+        zerov = [jnp.zeros_like(X2[0]) for _ in range(L12)]
+
+        neg = mr[0, 2] > 0
+        Yn = sub_lazy(zerov, Y2, 1)  # p - Y2, < p
+        Y2 = [jnp.where(neg, a_, b_) for a_, b_ in zip(Yn, Y2)]
+
+        # RCB'15 mixed add (Z2 = 1) with bound management: acc coords < 2p,
+        # stream coords < p; csub(x, 2) wherever a value could otherwise
+        # approach the 2^256 operand capacity (bounds in brackets).
+        mul = cios256
+        t0 = mul(X1, X2)                        # < 1.38p
+        t1 = mul(Y1, Y2)                        # < 1.38p
+        m_ab = mul(add_lazy(X1, Y1), add_lazy(X2, Y2))  # (4p)(2p) -> < 2.52p
+        t3 = csub(sub_lazy(m_ab, add_lazy(t0, t1), 3), 2)  # < 3.52p
+        t4 = add_lazy(Y1, mul(Y2, Z1))          # < 3.38p
+        t5 = add_lazy(X1, mul(X2, Z1))          # < 3.38p
+        t0 = add_lazy(add_lazy(t0, t0), t0)     # < 4.14p
+        t2 = mul(b3v, Z1)                       # < 1.38p
+        Z3 = add_lazy(t1, t2)                   # < 2.76p
+        t1 = sub_lazy(t1, t2, 2)                # < 3.38p
+        Y3 = mul(b3v, t5)                       # < 1.64p
+        mA = mul(t3, t1)                        # (3.52)(3.38) -> < 3.25p
+        mB = mul(t4, Y3)                        # (3.38)(1.64) -> < 2.05p
+        X3 = csub(csub(sub_lazy(mA, mB, 3), 2), 2)      # < 2p
+        mC = mul(t1, Z3)                        # (3.38)(2.76) -> < 2.77p
+        mD = mul(Y3, t0)                        # (1.64)(4.14) -> < 2.29p
+        Y3 = csub(csub(add_lazy(mC, mD), 2), 2)         # < 2p
+        mE = mul(Z3, t4)                        # (2.76)(3.38) -> < 2.77p
+        mF = mul(t0, t3)                        # (4.14)(3.52) -> < 3.76p
+        Z3 = csub(csub(add_lazy(mE, mF), 2), 2)         # < 2.53p -> < 2p? see below
+        Z3 = csub(Z3, 1)                        # 6.53p - 2p - 2p in [0,2.53p); csub p -> < 2p
+
+        same = mr[0, 0] > 0
+        valid = mr[0, 1] > 0
+        nX, nY, nZ = [], [], []
+        for i in range(L12):
+            nX.append(jnp.where(
+                valid,
+                jnp.where(same, X3[i], X2[i]),
+                jnp.where(same, X1[i], zerov[i]),
+            ))
+            nY.append(jnp.where(
+                valid,
+                jnp.where(same, Y3[i], Y2[i]),
+                jnp.where(same, Y1[i], onev[i]),
+            ))
+            nZ.append(jnp.where(
+                valid,
+                jnp.where(same, Z3[i], onev[i]),
+                jnp.where(same, Z1[i], zerov[i]),
+            ))
+        for i in range(L12):
+            ax[i] = nX[i]
+            ay[i] = nY[i]
+            az[i] = nZ[i]
+        pX = r12m.pack16(nX)
+        pY = r12m.pack16(nY)
+        pZ = r12m.pack16(nZ)
+        for i in range(L):
+            ox[0, i] = pX[i]
+            oy[0, i] = pY[i]
+            oz[0, i] = pZ[i]
+
+    return kernel
+
+
 @functools.cache
 def _madd_scan_full_call(spec: CurveSpec, m_steps: int, m_cols: int,
                          interpret: bool):
@@ -575,11 +695,28 @@ def _madd_scan_full_call(spec: CurveSpec, m_steps: int, m_cols: int,
         # obeys the divisible-by-8 rule
         if shrunk >= 8:
             sub = shrunk
-    kernel = _mk_madd_scan_full_kernel(spec, sub)
+    # TPU-only (like _use_r12 in ntt.py): interpret-mode compile of the
+    # 22-limb body is impractical; CPU covers the 16x16 kernel instead
+    r12 = (not interpret
+           and _os.environ.get("ZKDCAP_MSM_R12", "1") != "0")
+    if r12:
+        from ..fields.r12 import L12
+
+        kernel = _mk_madd_scan_full_kernel_r12(spec, sub)
+        scratch_l = L12
+    else:
+        kernel = _mk_madd_scan_full_kernel(spec, sub)
+        scratch_l = L
     grid = (rows // sub, m_steps)
     spec_c = pl.BlockSpec((1, L, sub, LANE), lambda rb, m: (m, 0, rb, 0))
     spec_m = pl.BlockSpec((1, 3, sub, LANE), lambda rb, m: (m, 0, rb, 0))
-    scratch = [pltpu.VMEM((L, sub, LANE), jnp.uint32) for _ in range(3)]
+    scratch = [pltpu.VMEM((scratch_l, sub, LANE), jnp.uint32) for _ in range(3)]
+    kwargs = {}
+    if r12 and not interpret:
+        # the 22-limb unrolled interior exceeds the default 16 MB
+        # scoped-vmem stack (see pallas_mont._fused_pass_call)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -591,6 +728,7 @@ def _madd_scan_full_call(spec: CurveSpec, m_steps: int, m_cols: int,
         out_specs=(spec_c, spec_c, spec_c),
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )
 
 

@@ -393,22 +393,115 @@ def _mk_fused_pass_kernel(params: FieldParams, n_stages: int, chunk: int,
     return kernel
 
 
+def _mk_fused_pass_kernel_r12(params: FieldParams, n_stages: int, chunk: int,
+                              sub: int = 1,
+                              bitrev_in: bool = False, post_mul: bool = False):
+    """Redundant 12-bit-limb variant of the fused NTT pass (fields/r12.py).
+
+    Same dataflow as _mk_fused_pass_kernel; the interior runs 22x12-bit
+    digits so every Montgomery iteration is mul+add with no lo/hi product
+    splitting (~2.1k u32 ops per stage-mul vs ~2.9k). Twiddle tables carry
+    the 2^8 radix-mismatch factor (r12.scale_mont_factor), so every lane's
+    value collapses below ~1.03p at each stage's REDC — no growth chain —
+    and the exit does the canonical < p reduction: outputs are
+    bit-identical to the 16x16 kernel's.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import r12 as r12m
+
+    p = params.p
+    L12 = r12m.L12
+
+    def kernel(x_ref, tw_ref, hi_ref, *rest):
+        # x_ref: (L, sub, chunk) 16-bit digits; tw_ref: (S, L12, chunk)
+        # canonical scaled 12-bit digits; hi_ref: (S, 1, chunk);
+        # rest: [ptw_ref (L12, sub, chunk)] if post_mul; then out_ref.
+        ptw_ref = rest[0] if post_mul else None
+        out_ref = rest[-1]
+        cios12, csub, add_lazy, sub_lazy = r12m.make_ops(params)
+        x16 = [x_ref[i] for i in range(L)]
+
+        if bitrev_in:
+            S = n_stages
+            lane = jax.lax.broadcasted_iota(jnp.uint32, (1, chunk), 1)
+            for a in range(S // 2):
+                b = S - 1 - a
+                if a == b:
+                    continue
+                delta = (1 << b) - (1 << a)
+                bit_a = (lane >> a) & 1
+                bit_b = (lane >> b) & 1
+                from_lo = jnp.logical_and(bit_a == 0, bit_b == 1)
+                from_hi = jnp.logical_and(bit_a == 1, bit_b == 0)
+                x16 = [
+                    jnp.where(
+                        from_lo,
+                        pltpu.roll(v, delta, 1),
+                        jnp.where(from_hi, pltpu.roll(v, chunk - delta, 1), v),
+                    )
+                    for v in x16
+                ]
+
+        x = r12m.unpack16(x16)  # canonical 12-bit digits, value < p
+
+        for s in range(n_stages):
+            m = 1 << s
+            tw = [tw_ref[s, i : i + 1, :] for i in range(L12)]
+            is_hi = hi_ref[s, 0:1, :] > 0
+            y = cios12(x, tw)  # every lane < 1.03p (lo lanes * scaled ONE)
+            p_lo = [pltpu.roll(v, chunk - m, 1) for v in y]
+            p_hi = [pltpu.roll(v, m, 1) for v in y]
+            part = [jnp.where(is_hi, a_, b_) for a_, b_ in zip(p_hi, p_lo)]
+            plus = add_lazy(y, part)          # < 2.06p
+            minus = sub_lazy(part, y, 2)      # part - y + 2p < 3.03p
+            x = [jnp.where(is_hi, mn, pl) for mn, pl in zip(minus, plus)]
+
+        if post_mul:
+            ptw = [ptw_ref[i] for i in range(L12)]
+            x = cios12(x, ptw)  # < 1.03p
+            x = csub(x, 1)
+        else:
+            x = csub(csub(x, 2), 1)  # < 3.03p -> canonical
+
+        x16o = r12m.pack16(x)
+        for i in range(L):
+            out_ref[i] = jnp.broadcast_to(x16o[i], (sub, chunk))
+
+    return kernel
+
+
 @functools.cache
 def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret: bool,
-                     bitrev_in: bool = False, post_mul: bool = False):
+                     bitrev_in: bool = False, post_mul: bool = False,
+                     r12: bool = False):
+    from .r12 import L12
+
     n_chunks = n_cols // FUSED_CHUNK
     sub = 8
     while n_chunks % sub:
         sub //= 2
-    kernel = _mk_fused_pass_kernel(params, n_stages, FUSED_CHUNK, sub=sub,
-                                   bitrev_in=bitrev_in, post_mul=post_mul)
+    mk = _mk_fused_pass_kernel_r12 if r12 else _mk_fused_pass_kernel
+    kernel = mk(params, n_stages, FUSED_CHUNK, sub=sub,
+                bitrev_in=bitrev_in, post_mul=post_mul)
+    Lt = L12 if r12 else L  # twiddle-table limb count
     grid = (n_chunks // sub,)
     x_spec = pl.BlockSpec((L, sub, FUSED_CHUNK), lambda i: (0, i, 0))
-    tw_spec = pl.BlockSpec((n_stages, L, FUSED_CHUNK), lambda i: (0, 0, 0))
+    ptw_spec = pl.BlockSpec((Lt, sub, FUSED_CHUNK), lambda i: (0, i, 0))
+    tw_spec = pl.BlockSpec((n_stages, Lt, FUSED_CHUNK), lambda i: (0, 0, 0))
     hi_spec = pl.BlockSpec((n_stages, 1, FUSED_CHUNK), lambda i: (0, 0, 0))
     in_specs = [x_spec, tw_spec, hi_spec]
     if post_mul:
-        in_specs.append(x_spec)  # per-lane post-multiply operand
+        in_specs.append(ptw_spec)  # per-lane post-multiply operand
+    kwargs = {}
+    if r12 and not interpret:
+        # the 22-limb unrolled interior keeps more live temporaries than
+        # the default 16 MB scoped-vmem stack allows (observed 27.3 MB at
+        # sub=2); v5e has 128 MB VMEM per core, so raise the cap
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((L, n_chunks, FUSED_CHUNK), jnp.uint32),
@@ -416,6 +509,7 @@ def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret:
         in_specs=in_specs,
         out_specs=x_spec,
         interpret=interpret,
+        **kwargs,
     )
 
     def wrapper(flat, tw, hi, *ptw):
@@ -423,7 +517,7 @@ def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret:
         # movement; the sublane stacking happens via the BlockSpec
         folded = (flat.reshape(L, n_chunks, FUSED_CHUNK),)
         if ptw:
-            folded += (ptw[0].reshape(L, n_chunks, FUSED_CHUNK),)
+            folded += (ptw[0].reshape(Lt, n_chunks, FUSED_CHUNK),)
         out = call(folded[0], tw, hi, *folded[1:])
         return out.reshape(L, n_cols)
 
@@ -469,6 +563,46 @@ def _fused_pass_tables_np(params: FieldParams, log_n: int, inverse: bool = False
 
 def fused_pass_tables(params: FieldParams, log_n: int, inverse: bool = False):
     tw, hi = _fused_pass_tables_np(params, log_n, inverse)
+    return jnp.asarray(tw), jnp.asarray(hi)
+
+
+@functools.cache
+def _fused_pass_tables12_np(params: FieldParams, log_n: int,
+                            inverse: bool = False):
+    """(S, 22, C) canonical 12-bit-digit twiddles pre-scaled by 2^8
+    (r12.scale_mont_factor) + (S, 1, C) hi masks, for the r12 kernel."""
+    import numpy as np
+
+    from .params import R
+    from .r12 import L12, int_to_limbs12, scale_mont_factor
+
+    C = FUSED_CHUNK
+    S = min(FUSED_STAGES, log_n)
+    n = 1 << log_n
+    p = params.p
+    scale = scale_mont_factor(params)
+    w = params.nth_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, p)
+    one_s = int_to_limbs12(R * scale % p)
+    tw = np.zeros((S, L12, C), dtype=np.uint32)
+    hi = np.zeros((S, 1, C), dtype=np.uint32)
+    for s in range(S):
+        m = 1 << s
+        stride = n >> (s + 1)
+        for i in range(C):
+            if (i >> s) & 1:  # hi lane
+                j = i & (m - 1)
+                val = int_to_limbs12(pow(w, j * stride, p) * R * scale % p)
+                hi[s, 0, i] = 1
+            else:
+                val = one_s
+            tw[s, :, i] = val
+    return tw, hi
+
+
+def fused_pass_tables12(params: FieldParams, log_n: int, inverse: bool = False):
+    tw, hi = _fused_pass_tables12_np(params, log_n, inverse)
     return jnp.asarray(tw), jnp.asarray(hi)
 
 

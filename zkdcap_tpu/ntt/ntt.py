@@ -189,8 +189,23 @@ def _four_step_twiddles(params: FieldParams, log_n: int, inverse: bool) -> jax.A
     return tw.T.copy()  # (L, n) limb-major
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int):
+def _use_r12() -> bool:
+    """Redundant 12-bit-limb kernel interiors (fields/r12.py): ~1.3x fewer
+    u32 ops per stage; bit-identical outputs. ZKDCAP_NTT_R12=0 reverts to
+    the 16x16 kernels. TPU-only: in interpret mode the 22-limb unrolled
+    body is impractically slow to even compile (the CPU suite covers the
+    r12 arithmetic via tests/test_r12.py and the 16x16 kernels end to
+    end; the r12 kernels are validated on-chip, scripts/ + golden
+    proofs)."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("ZKDCAP_NTT_R12", "1") != "0")
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int,
+                   r12: bool = False):
     """at: (L, n) limb-major natural order -> (L, n) transformed.
 
     Both bit-reversals happen IN VMEM inside the fused kernels (5 lane-roll
@@ -213,11 +228,12 @@ def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int):
     At = jnp.swapaxes(A, 1, 2)  # (L, N2, N1): row j holds i contiguous
     flat = At.reshape(L, n)
     flat = _fused_pass_call(params, log_n1, n, interpret,
-                            bitrev_in=True, post_mul=True)(flat, tw1, hi1, tw)
+                            bitrev_in=True, post_mul=True,
+                            r12=r12)(flat, tw1, hi1, tw)
     # pass B: size-N2 NTT over j for each row k1
     B = jnp.swapaxes(flat.reshape(L, N2, N1), 1, 2)  # (L, N1, N2)
     flat = _fused_pass_call(params, log_n2, n, interpret,
-                            bitrev_in=True)(B.reshape(L, n), tw2, hi2)
+                            bitrev_in=True, r12=r12)(B.reshape(L, n), tw2, hi2)
     # natural order: out[k1 + N1*k2] = D[k1, k2]
     D = flat.reshape(L, N1, N2)
     return jnp.swapaxes(D, 1, 2).reshape(L, n)
@@ -232,18 +248,38 @@ def _four_step_ok(params: FieldParams, log_n: int) -> bool:
     return (1 << log_n1) <= FUSED_CHUNK and (1 << log_n2) <= FUSED_CHUNK
 
 
+@_cache_concrete
+def _four_step_twiddles12(params: FieldParams, log_n: int, inverse: bool) -> jax.Array:
+    """(22, n) r12-digit inter-pass twiddle table, pre-scaled by 2^8: the
+    16-limb Montgomery table times r12.scale_mont_factor, digit-repacked
+    on device (pure bit ops)."""
+    from ..fields import mont
+    from ..fields.r12 import scale_mont_factor, unpack16
+
+    tw16 = _four_step_twiddles(params, log_n, inverse)  # (L, n)
+    scale = mont.encode_ints(params, [scale_mont_factor(params)])  # (1, L)
+    tw16s = mont.mont_mul(params, tw16.T, jnp.broadcast_to(scale, tw16.T.shape)).T
+    return jnp.stack(unpack16([tw16s[j] for j in range(NUM_LIMBS)]))
+
+
 def ntt_four_step(params: FieldParams, a: jax.Array, inverse: bool = False) -> jax.Array:
     """Four-step NTT of (n, L) natural-order input. For inverse, the 1/n
     scale is already folded in (full intt equivalence)."""
-    from ..fields.pallas_mont import fused_pass_tables
+    from ..fields.pallas_mont import fused_pass_tables, fused_pass_tables12
 
     n = a.shape[0]
     log_n = n.bit_length() - 1
     log_n1, log_n2 = _four_step_split(log_n)
-    tw = _four_step_twiddles(params, log_n, inverse)
-    passA = fused_pass_tables(params, log_n1, inverse)
-    passB = fused_pass_tables(params, log_n2, inverse)
-    out = _four_step_run(params, a.T, tw, passA, passB, log_n)
+    r12 = _use_r12()
+    if r12:
+        tw = _four_step_twiddles12(params, log_n, inverse)
+        passA = fused_pass_tables12(params, log_n1, inverse)
+        passB = fused_pass_tables12(params, log_n2, inverse)
+    else:
+        tw = _four_step_twiddles(params, log_n, inverse)
+        passA = fused_pass_tables(params, log_n1, inverse)
+        passB = fused_pass_tables(params, log_n2, inverse)
+    out = _four_step_run(params, a.T, tw, passA, passB, log_n, r12)
     return out.T
 
 
