@@ -57,11 +57,20 @@ class CircuitConfig:
 
     def validate(self) -> None:
         # the CRT layout is pinned by the instance encoding (lib.rs:80-81);
-        # only the reference's own values are accepted
-        assert self.num_limbs == 3, "instance encoding requires 3 limbs"
-        assert 88 <= self.limb_bits <= 91, "limb_bits outside reference range"
-        assert self.lookup_bits < self.degree, "lookup table must fit the domain"
-        assert self.multiopen in ("shplonk", "gwc"), self.multiopen
+        # only the reference's own values are accepted. ValueError, not
+        # assert: user-supplied config must fail loudly under `python -O`.
+        if self.num_limbs != 3:
+            raise ValueError("instance encoding requires 3 limbs")
+        if not 88 <= self.limb_bits <= 91:
+            raise ValueError(f"limb_bits={self.limb_bits} outside the "
+                             "reference range [88, 91]")
+        if self.lookup_bits >= self.degree:
+            raise ValueError("lookup table must fit the domain: "
+                             f"lookup_bits={self.lookup_bits} >= "
+                             f"degree={self.degree}")
+        if self.multiopen not in ("shplonk", "gwc"):
+            raise ValueError(f"unknown multiopen scheme {self.multiopen!r} "
+                             "(expected 'shplonk' or 'gwc')")
 
 
 def load_config(path: str | None = None) -> CircuitConfig:
