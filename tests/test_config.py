@@ -51,3 +51,19 @@ def test_cli_accepts_config(tmp_path):
               "verify", "--msghash", "0x00", "--signature", "0x00",
               "--pubkey", "0x00", "--proof", "0x00"])
     assert e.value.code == 2
+
+
+def test_validate_rejects_bad_values():
+    """validate() must raise ValueError (not assert: survives python -O)
+    for values outside the reference instance-encoding contract."""
+    import pytest
+
+    good = dict(degree=17, lookup_bits=16)
+    with pytest.raises(ValueError, match="3 limbs"):
+        CircuitConfig(**good, num_limbs=4).validate()
+    with pytest.raises(ValueError, match="limb_bits"):
+        CircuitConfig(**good, limb_bits=64).validate()
+    with pytest.raises(ValueError, match="lookup table"):
+        CircuitConfig(degree=12, lookup_bits=12).validate()
+    with pytest.raises(ValueError, match="multiopen"):
+        CircuitConfig(**good, multiopen="ipa").validate()
