@@ -73,3 +73,53 @@ def test_extended_coset():
     # roundtrip
     back = mont.decode_ints(BN254_FR, d.extended_to_coeff(d.coeff_to_extended(x)))
     assert back == coeffs + [0] * ((1 << ek) - (1 << k))
+
+
+def test_cg_schedule_matches_reference_ntt():
+    """The constant-geometry pass schedule (grouped deferred-DIF stages +
+    rho^g interleaves + final bit-permutation, pallas_mont._cg_schedule) is
+    validated against a direct NTT over a small prime field — the TPU
+    kernel is a mechanical transcription of this exact dataflow."""
+    import numpy as np
+
+    from zkdcap_tpu.fields.pallas_mont import _cg_groups, _cg_schedule
+
+    p = 12289
+    for S in (8, 9, 10, 11):
+        n = 1 << S
+        w = pow(11, (p - 1) // n, p)
+        assert pow(w, n // 2, p) != 1
+        rng = np.random.default_rng(S)
+        a = [int(v) for v in rng.integers(0, p, n)]
+        groups, tables, swaps = _cg_schedule(S)
+        assert sum(groups) == S and max(groups) <= max(S - 7, 1)
+        x = np.array(a, dtype=object)
+        ti = 0
+        for gi, g in enumerate(groups):
+            for k in range(g):
+                m = 1 << (S - 1 - k)
+                X = x.reshape(n // (2 * m), 2, m)
+                lo = X[:, 0, :].reshape(-1)
+                hi = X[:, 1, :].reshape(-1)
+                s_ = (lo + hi) % p
+                tw = np.array(
+                    [pow(w, int(e), p) for e in tables[ti]], dtype=object
+                )
+                t_ = ((lo - hi) * tw) % p
+                x = np.stack(
+                    [s_.reshape(-1, m), t_.reshape(-1, m)], axis=1
+                ).reshape(n)
+                ti += 1
+            if gi != len(groups) - 1:
+                x = x.reshape(1 << g, n >> g).T.reshape(n)
+        for a_, b_ in swaps:
+            idx = np.arange(n)
+            ba, bb = (idx >> a_) & 1, (idx >> b_) & 1
+            tau = (idx & ~((1 << a_) | (1 << b_))) | (ba << b_) | (bb << a_)
+            x = x[tau]
+        ws = [pow(w, k2, p) for k2 in range(n)]
+        ref = [
+            sum(a[j] * ws[(j * k2) % n] for j in range(n)) % p
+            for k2 in range(n)
+        ]
+        assert list(x) == ref, f"CG schedule mismatch at S={S}"

@@ -581,6 +581,10 @@ def _mk_madd_scan_full_kernel_r12(spec: CurveSpec, sub: int):
     one_12 = r12m.int_to_limbs12(RADIX % p)
     cios256 = r12m.make_cios256(params)
     _, csub, add_lazy, sub_lazy = r12m.make_ops(params)
+    # b3 = 9 for BN254: x*9 is a digitwise small mul + 4 csubs (~0.6k u32
+    # ops) instead of a full cios (~2.2k) — and 9*Z stays Montgomery-form
+    # (9*(Z*R) = (9Z)*R). Generic curves with a full-width b3 keep the mul.
+    small_b3 = spec.b3 < (1 << 12)
 
     def kernel(pr, mr, ox, oy, oz, ax, ay, az):
         m_id = pl.program_id(1)
@@ -617,9 +621,22 @@ def _mk_madd_scan_full_kernel_r12(spec: CurveSpec, sub: int):
         Y2 = [jnp.where(neg, a_, b_) for a_, b_ in zip(Yn, Y2)]
 
         # RCB'15 mixed add (Z2 = 1) with bound management: acc coords < 2p,
-        # stream coords < p; csub(x, 2) wherever a value could otherwise
-        # approach the 2^256 operand capacity (bounds in brackets).
+        # stream coords < p; csub wherever a value could otherwise approach
+        # the 2^256 operand capacity (bounds in brackets; REDC bound
+        # out <= p*(1 + ab/(5.29 p^2)) with 2^256 ~ 5.29p).
         mul = cios256
+
+        def mul_b3(x, x_bound_p: int):
+            # t = b3*x reduced below 2p. small path: digit mul + 4 csubs.
+            if not small_b3:
+                return mul(x, b3v)
+            t = r12m.mul_small(x, int(spec.b3))
+            k = 1 << max(x_bound_p * int(spec.b3) - 1, 1).bit_length() >> 1
+            while k >= 2:
+                t = csub(t, k)
+                k >>= 1
+            return t
+
         t0 = mul(X1, X2)                        # < 1.38p
         t1 = mul(Y1, Y2)                        # < 1.38p
         m_ab = mul(add_lazy(X1, Y1), add_lazy(X2, Y2))  # (4p)(2p) -> < 2.52p
@@ -627,20 +644,19 @@ def _mk_madd_scan_full_kernel_r12(spec: CurveSpec, sub: int):
         t4 = add_lazy(Y1, mul(Y2, Z1))          # < 3.38p
         t5 = add_lazy(X1, mul(X2, Z1))          # < 3.38p
         t0 = add_lazy(add_lazy(t0, t0), t0)     # < 4.14p
-        t2 = mul(b3v, Z1)                       # < 1.38p
-        Z3 = add_lazy(t1, t2)                   # < 2.76p
+        t2 = mul_b3(Z1, 2)                      # 9*Z1 < 18p -> csubs -> < 2p
+        Z3 = add_lazy(t1, t2)                   # < 3.38p
         t1 = sub_lazy(t1, t2, 2)                # < 3.38p
-        Y3 = mul(b3v, t5)                       # < 1.64p
+        Y3 = mul_b3(t5, 4)                      # 9*t5 < 31p -> csubs -> < 2p
         mA = mul(t3, t1)                        # (3.52)(3.38) -> < 3.25p
-        mB = mul(t4, Y3)                        # (3.38)(1.64) -> < 2.05p
-        X3 = csub(csub(sub_lazy(mA, mB, 3), 2), 2)      # < 2p
-        mC = mul(t1, Z3)                        # (3.38)(2.76) -> < 2.77p
-        mD = mul(Y3, t0)                        # (1.64)(4.14) -> < 2.29p
-        Y3 = csub(csub(add_lazy(mC, mD), 2), 2)         # < 2p
-        mE = mul(Z3, t4)                        # (2.76)(3.38) -> < 2.77p
+        mB = mul(t4, Y3)                        # (3.38)(2) -> < 2.28p
+        X3 = csub(csub(sub_lazy(mA, mB, 3), 4), 2)      # < 6.25p -> < 2p
+        mC = mul(t1, Z3)                        # (3.38)(3.38) -> < 3.16p
+        mD = mul(Y3, t0)                        # (2)(4.14) -> < 2.57p
+        Y3 = csub(csub(add_lazy(mC, mD), 4), 2)         # < 5.73p -> < 2p
+        mE = mul(Z3, t4)                        # (3.38)(3.38) -> < 3.16p
         mF = mul(t0, t3)                        # (4.14)(3.52) -> < 3.76p
-        Z3 = csub(csub(add_lazy(mE, mF), 2), 2)         # < 2.53p -> < 2p? see below
-        Z3 = csub(Z3, 1)                        # 6.53p - 2p - 2p in [0,2.53p); csub p -> < 2p
+        Z3 = csub(csub(add_lazy(mE, mF), 4), 2)         # < 6.92p -> < 2p
 
         same = mr[0, 0] > 0
         valid = mr[0, 1] > 0

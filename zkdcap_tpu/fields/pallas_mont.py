@@ -474,27 +474,36 @@ def _mk_fused_pass_kernel_r12(params: FieldParams, n_stages: int, chunk: int,
 @functools.cache
 def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret: bool,
                      bitrev_in: bool = False, post_mul: bool = False,
-                     r12: bool = False):
+                     r12: bool = False, cg: bool = False):
     from .r12 import L12
 
     n_chunks = n_cols // FUSED_CHUNK
     sub = 8
     while n_chunks % sub:
         sub //= 2
-    mk = _mk_fused_pass_kernel_r12 if r12 else _mk_fused_pass_kernel
-    kernel = mk(params, n_stages, FUSED_CHUNK, sub=sub,
-                bitrev_in=bitrev_in, post_mul=post_mul)
+    if cg:
+        kernel = _mk_cg_pass_kernel_r12(params, n_stages, FUSED_CHUNK,
+                                        sub=sub, post_mul=post_mul)
+    else:
+        mk = _mk_fused_pass_kernel_r12 if r12 else _mk_fused_pass_kernel
+        kernel = mk(params, n_stages, FUSED_CHUNK, sub=sub,
+                    bitrev_in=bitrev_in, post_mul=post_mul)
     Lt = L12 if r12 else L  # twiddle-table limb count
     grid = (n_chunks // sub,)
     x_spec = pl.BlockSpec((L, sub, FUSED_CHUNK), lambda i: (0, i, 0))
     ptw_spec = pl.BlockSpec((Lt, sub, FUSED_CHUNK), lambda i: (0, i, 0))
-    tw_spec = pl.BlockSpec((n_stages, Lt, FUSED_CHUNK), lambda i: (0, 0, 0))
-    hi_spec = pl.BlockSpec((n_stages, 1, FUSED_CHUNK), lambda i: (0, 0, 0))
-    in_specs = [x_spec, tw_spec, hi_spec]
+    if cg:
+        tw_spec = pl.BlockSpec(
+            (n_stages, Lt, 1, FUSED_CHUNK // 2), lambda i: (0, 0, 0, 0))
+        in_specs = [x_spec, tw_spec]
+    else:
+        tw_spec = pl.BlockSpec((n_stages, Lt, FUSED_CHUNK), lambda i: (0, 0, 0))
+        hi_spec = pl.BlockSpec((n_stages, 1, FUSED_CHUNK), lambda i: (0, 0, 0))
+        in_specs = [x_spec, tw_spec, hi_spec]
     if post_mul:
         in_specs.append(ptw_spec)  # per-lane post-multiply operand
     kwargs = {}
-    if r12 and not interpret:
+    if (r12 or cg) and not interpret:
         # the 22-limb unrolled interior keeps more live temporaries than
         # the default 16 MB scoped-vmem stack allows (observed 27.3 MB at
         # sub=2); v5e has 128 MB VMEM per core, so raise the cap
@@ -512,13 +521,17 @@ def _fused_pass_call(params: FieldParams, n_stages: int, n_cols: int, interpret:
         **kwargs,
     )
 
-    def wrapper(flat, tw, hi, *ptw):
+    def wrapper(flat, tw, *rest):
         # flat (L, n_cols) <-> (L, n_chunks, chunk): free reshapes, no data
-        # movement; the sublane stacking happens via the BlockSpec
-        folded = (flat.reshape(L, n_chunks, FUSED_CHUNK),)
-        if ptw:
-            folded += (ptw[0].reshape(Lt, n_chunks, FUSED_CHUNK),)
-        out = call(folded[0], tw, hi, *folded[1:])
+        # movement; the sublane stacking happens via the BlockSpec.
+        # rest = [hi] (roll kernel) and/or [ptw] (post_mul), in order.
+        args = [flat.reshape(L, n_chunks, FUSED_CHUNK), tw]
+        rest = list(rest)
+        if not cg:
+            args.append(rest.pop(0))  # hi mask table
+        if rest:
+            args.append(rest[0].reshape(Lt, n_chunks, FUSED_CHUNK))
+        out = call(*args)
         return out.reshape(L, n_cols)
 
     return wrapper
@@ -604,6 +617,230 @@ def _fused_pass_tables12_np(params: FieldParams, log_n: int,
 def fused_pass_tables12(params: FieldParams, log_n: int, inverse: bool = False):
     tw, hi = _fused_pass_tables12_np(params, log_n, inverse)
     return jnp.asarray(tw), jnp.asarray(hi)
+
+
+# --- grouped constant-geometry NTT pass (half-width twiddle muls) ----------
+#
+# The roll-based fused pass multiplies EVERY lane by a twiddle (Montgomery
+# ONE on lo lanes) to keep the dataflow uniform — 2x the muls a classical
+# NTT needs, and the kernel is VPU-compute-bound. This variant runs plain
+# DIF stages in groups whose spans stay >= 128 lanes (lo/hi are contiguous
+# lane-tile-aligned slices, so the cios runs on HALF the lanes), and
+# restores large spans after each group with a rho^g block interleave (the
+# composition of g per-stage constant-geometry interleaves). Output order
+# is fixed by one in-VMEM bit-permutation (pair-swap rolls, like the DIT
+# kernel's bitrev prologue). Schedule derivation + host-side numpy
+# validation: the tables are exact DIF twiddles re-indexed through the
+# layout bit-permutation pi that the interleaves induce.
+
+
+def _cg_groups(S: int) -> list[int]:
+    maxg = max(S - 7, 1)  # spans 2^(S-1)..2^(S-g) must stay >= 2^7
+    gs = []
+    left = S
+    while left > 0:
+        g = min(maxg, left, 4)
+        gs.append(g)
+        left -= g
+    return gs
+
+
+@functools.cache
+def _cg_schedule(S: int):
+    """Per-stage twiddle exponents (layout half-position order) and the
+    final layout -> natural-order lane bit-permutation."""
+    import numpy as np
+
+    n = 1 << S
+    groups = _cg_groups(S)
+    pi = list(range(S))
+    tables = []
+    logical_stage = 0
+    for gi, g in enumerate(groups):
+        for k in range(g):
+            t = S - 1 - k
+            assert pi[t] == S - 1 - logical_stage
+            M = 1 << (S - 1 - logical_stage)
+            half = n // 2
+            h = np.arange(half, dtype=np.int64)
+            l_hi = ((h >> t) << (t + 1)) | (1 << t) | (h & ((1 << t) - 1))
+            j = np.zeros(half, dtype=np.int64)
+            for lb in range(S):
+                j |= ((l_hi >> lb) & 1) << pi[lb]
+            tables.append(((j % M) * (n // (2 * M))).astype(np.int64))
+            logical_stage += 1
+        if gi != len(groups) - 1:
+            pi = [pi[(i - g) % S] for i in range(S)]
+    # natural-order fix: out[q] = stage_output[final(q)] where
+    # final(q) = sum_lb bit_{S-1-pi[lb]}(q) << lb (DIF output is the
+    # bit-reversed coefficient order, read back through pi). Decompose
+    # final into index-bit transpositions (each realised in VMEM as two
+    # rolls + select) and VERIFY the sequence numerically.
+    fbits = [S - 1 - pi[lb] for lb in range(S)]  # final's bit source map
+
+    def apply_final(q: int) -> int:
+        return sum(((q >> fbits[lb]) & 1) << lb for lb in range(S))
+
+    def apply_swap_seq(swaps_, q: int) -> int:
+        # the kernel applies y[l] = x[tau(l)] for each swap in order, so
+        # the net index map is tau_first(tau_second(...(l)))
+        for a, b in reversed(swaps_):
+            ba, bb = (q >> a) & 1, (q >> b) & 1
+            q = q & ~((1 << a) | (1 << b)) | (ba << b) | (bb << a)
+        return q
+
+    # greedy decomposition of the bit permutation i -> position of bit i
+    perm = list(fbits)  # final reads source bit perm[lb] into output bit lb
+    swaps = []
+    cur = list(range(S))
+    for lb in range(S):
+        if cur[lb] == perm[lb]:
+            continue
+        j = cur.index(perm[lb])
+        swaps.append((min(lb, j), max(lb, j)))
+        cur[lb], cur[j] = cur[j], cur[lb]
+    for order in (swaps, list(reversed(swaps))):
+        if all(apply_swap_seq(order, q) == apply_final(q)
+               for q in range(min(n, 4096))):
+            return groups, tables, order
+    raise AssertionError("CG final-permutation decomposition failed")
+
+
+def _lane_bit_swap(x_planes, a: int, b: int, chunk: int):
+    """Swap lane-index bits a<b within each 2^(b+1)-aligned group via two
+    cyclic rolls + select (the bitrev prologue's primitive)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, chunk), 1)
+    delta = (1 << b) - (1 << a)
+    bit_a = (lane >> a) & 1
+    bit_b = (lane >> b) & 1
+    from_lo = jnp.logical_and(bit_a == 0, bit_b == 1)
+    from_hi = jnp.logical_and(bit_a == 1, bit_b == 0)
+    return [
+        jnp.where(
+            from_lo,
+            pltpu.roll(v, delta, 1),
+            jnp.where(from_hi, pltpu.roll(v, chunk - delta, 1), v),
+        )
+        for v in x_planes
+    ]
+
+
+def _mk_cg_pass_kernel_r12(params: FieldParams, n_stages: int, chunk: int,
+                           sub: int = 1, post_mul: bool = False):
+    """Constant-geometry r12 NTT pass: natural-order input, natural-order
+    output, bit-identical to the roll-based DIT kernel."""
+    from . import r12 as r12m
+
+    L12 = r12m.L12
+    S = n_stages
+    groups, _, sigma = _cg_schedule(S)
+    swaps = _perm_to_swaps(sigma)
+    nblk = chunk >> S  # independent transforms per chunk
+
+    def kernel(x_ref, tw_ref, *rest):
+        ptw_ref = rest[0] if post_mul else None
+        out_ref = rest[-1]
+        cios12, csub, add_lazy, sub_lazy = r12m.make_ops(params)
+        x16 = [x_ref[i] for i in range(L)]
+        x = r12m.unpack16(x16)  # canonical digits, < p
+
+        half = chunk // 2
+        ti = 0
+        for gi, g in enumerate(groups):
+            for k in range(g):
+                m = 1 << (S - 1 - k)
+                tw = [tw_ref[ti, i, 0:1, :] for i in range(L12)]
+
+                def lohi(v):
+                    A = v.reshape(sub, chunk // (2 * m), 2, m)
+                    return (
+                        A[:, :, 0, :].reshape(sub, half),
+                        A[:, :, 1, :].reshape(sub, half),
+                    )
+
+                lo, hi = zip(*(lohi(v) for v in x))
+                lo, hi = list(lo), list(hi)
+                s_ = csub(add_lazy(lo, hi), 2)        # < 2p
+                d_ = sub_lazy(lo, hi, 2)              # < 4p
+                t_ = cios12(d_, tw)                   # < 1.03p
+                x = [
+                    jnp.stack(
+                        [a_.reshape(sub, chunk // (2 * m), m),
+                         b_.reshape(sub, chunk // (2 * m), m)], axis=2
+                    ).reshape(sub, chunk)
+                    for a_, b_ in zip(s_, t_)
+                ]
+                ti += 1
+            if gi != len(groups) - 1:
+                # rho^g block interleave within each 2^S-aligned group
+                x = [
+                    v.reshape(sub, nblk, 1 << g, 1 << (S - g))
+                    .swapaxes(2, 3).reshape(sub, chunk)
+                    for v in x
+                ]
+
+        for a, b in swaps:
+            lo_b, hi_b = min(a, b), max(a, b)
+            x = _lane_bit_swap(x, lo_b, hi_b, chunk)
+
+        if post_mul:
+            ptw = [ptw_ref[i] for i in range(L12)]
+            x = cios12(x, ptw)  # < 1.03p
+            x = csub(x, 1)
+        else:
+            x = csub(x, 1)  # < 2p -> canonical
+
+        x16o = r12m.pack16(x)
+        for i in range(L):
+            out_ref[i] = jnp.broadcast_to(x16o[i], (sub, chunk))
+
+    return kernel
+
+
+@functools.cache
+def _cg_tables12_np(params: FieldParams, log_n: int, inverse: bool = False):
+    """(S, L12, 1, C/2) canonical 12-bit-digit CG twiddles pre-scaled by
+    2^8 (see fused_pass_tables12), in layout half-position order."""
+    import numpy as np
+
+    from .params import R
+    from .r12 import L12, int_to_limbs12, scale_mont_factor
+
+    S = log_n
+    n = 1 << S
+    C = FUSED_CHUNK
+    half = C // 2
+    p = params.p
+    scale = scale_mont_factor(params)
+    w = params.nth_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, -1, p)
+    _, tables, _ = _cg_schedule(S)
+    tw = np.zeros((S, L12, 1, half), dtype=np.uint32)
+    reps = half // ((n // 2) or 1)
+    for s in range(S):
+        exps = tables[s]
+        vals = {}
+        for h in range(n // 2):
+            e = int(exps[h])
+            if e not in vals:
+                vals[e] = int_to_limbs12(pow(w, e, p) * R * scale % p)
+        for h in range(n // 2):
+            limbs = vals[int(exps[h])]
+            # blocks repeat across the chunk: half-positions of block r are
+            # offset by r * n//2 ... wait: half-position h indexes pairs of
+            # the WHOLE chunk; with nblk blocks the reshape (C//(2m), m)
+            # walks blocks in order, pair j of block r at h_global =
+            # r*(n//2) + h for every stage (spans subdivide blocks).
+            for r in range(reps):
+                tw[s, :, 0, r * (n // 2) + h] = limbs
+    return tw
+
+
+def fused_cg_tables12(params: FieldParams, log_n: int, inverse: bool = False):
+    return jnp.asarray(_cg_tables12_np(params, log_n, inverse))
 
 
 def fused_low_stages(params: FieldParams, at: jax.Array, log_n: int,

@@ -8,21 +8,28 @@ op of the prover: every polynomial commitment is one MSM
 Algorithm (signed c-bit windows, ceil(256/c) windows for 256-bit scalars):
   1. signed digit recoding: window digits in [-2^(c-1), 2^(c-1)-1], so only
      2^(c-1) buckets per window (point negation is one field negate),
-  2. per window: ONE two-operand sort of (|digit|, sign<<30|index) — the
-     sorted digit array and the gather order come out of a single bitonic
-     pass (no separate argsort + digit-take),
-  3. ONE packed row gather: X‖Y live in a (N, 2L) row so each sorted point
-     costs one 128-byte gather row instead of two 64-byte ones (the gather
-     is latency-bound, so rows gathered — not bytes — set the cost),
+  2. per window: the packed point rows RIDE the digit sort — an in-VMEM
+     pallas bitonic sort (utils/device_sort.py) carries |digit| plus the
+     8 X planes (then the 8 pre-negated Y planes) through every
+     compare-exchange, so the sorted affine stream materialises with NO
+     random-row gather (jnp.take's latency-bound gather was 57% of the
+     round-4 MSM); windows larger than the sort's VMEM budget split into
+     segments sorted independently,
+  3. (fallback without the fused sort: lax.sort of (|d|, sign<<30|idx) +
+     one packed row gather per point),
   4. lane-chunked segmented reduction: the sorted stream is split into G
      lanes of M points; each lane runs a sequential segmented scan (M
-     steps of one wide complete EC add, fused in a Pallas kernel),
-  5. per-run partial sums (<= G + 2^(c-1) run ends) are compacted by a
-     cumsum/scatter of their indices + a K-row gather, then combined by a
-     log-depth segmented Hillis-Steele scan,
-  6. bucket totals land in a dense 2^(c-1)-entry table via unique-index
-     scatter; classic suffix-sum aggregation (S += B_d; T += S) vectorised
-     across all windows, then a Horner window join (c doublings/window).
+     steps of one wide mixed EC add, fused in a Pallas kernel; BN254's
+     b3 = 9 multiplies as a digitwise small-mul + csubs),
+  5. per-(window, segment) run partial sums (<= G_seg + 2^(c-1) run ends)
+     are compacted via a single-operand bitonic end sort + K-row gather,
+     then combined by a segmented Hillis-Steele scan whose level count is
+     a data-dependent while_loop bound (ceil log2 of the longest
+     same-digit run — typically 1-2 levels, not log2(G)),
+  6. bucket totals land in dense 2^(c-1)-entry tables via unique-index
+     scatter (per segment, EC-added across segments); classic suffix-sum
+     aggregation (S += B_d; T += S) vectorised across all windows, then a
+     Horner window join (c doublings/window).
 
 Digit-0 points and encoded infinities are mapped to the projective identity
 (0:1:0), which the complete formulas absorb — no control flow anywhere.
@@ -191,20 +198,42 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
     G = lanes
     M = N // G
     assert G * M == N
-    K = min(N, G + NUM_BUCKETS)  # upper bound on per-window run-end count
 
     digits = _signed_digits(scalars_std, c)  # (W, N) signed
 
     idxN = jnp.arange(N, dtype=jnp.int32)
-    idxK = jnp.arange(K, dtype=jnp.int32)
     WP = _window_parallel(NUM_WINDOWS, G)
     from ..curves.ec_kernels import (
         BLOCK as EC_BLOCK, _fold_sub, ec_add_select, pack_affine_rows)
+    from ..utils.device_sort import (
+        ROWS_SORT_SEG, bitonic_sort, sort_rows_by_key, sort_supported)
 
     # _fold_sub > 0: the scan kernel needs a Mosaic-legal VMEM fold of the
-    # (WP*G)-wide stream (reachable only via non-default ZKDCAP_MSM_C/lanes)
+    # (WP*G)-wide stream (reachable only via non-default ZKDCAP_MSM_C/lanes).
+    # ZKDCAP_MSM_FORCE_LM=1 runs the kernel path in interpret mode off-TPU
+    # (slow; only for small-N correctness tests of the fused-sort pipeline).
+    force_lm = _os.environ.get("ZKDCAP_MSM_FORCE_LM") == "1"
     use_lm = ((WP * G) % EC_BLOCK == 0 and _fold_sub(WP * G) > 0
-              and jax.default_backend() == "tpu")
+              and (jax.default_backend() == "tpu" or force_lm))
+    # Fused digit+row sort: the bitonic kernel carries the packed point
+    # planes with the digits, so the sorted stream needs NO per-point row
+    # gather (411 ms of the 716 ms 2^20 MSM was jnp.take's random-row
+    # gather). N > ROWS_SORT_SEG splits each window into VMEM-sized
+    # segments sorted independently; the tail then compacts/merges/deposits
+    # per segment and EC-adds the S bucket tables at the end.
+    S = max(N // ROWS_SORT_SEG, 1)
+    use_rows_sort = (
+        use_lm and sort_supported(min(N, ROWS_SORT_SEG), n_ops=9)
+        and N % min(N, ROWS_SORT_SEG) == 0 and G % S == 0 and G // S >= 1
+        and _os.environ.get("ZKDCAP_MSM_ROWSORT", "1") != "0"
+    )
+    if not use_rows_sort:
+        S = 1
+    n_seg = N // S
+    G_seg = G // S  # lanes per (window, segment)
+    K = min(n_seg, G_seg + NUM_BUCKETS)  # run-end bound per (window, segment)
+    idxK = jnp.arange(K, dtype=jnp.int32)
+    idxS = jnp.arange(n_seg, dtype=jnp.int32)
     if use_lm:
         # u16-packed rows: the sorted-point gather is row-latency-bound, so
         # 64 B rows gather ~2x faster than 128 B ones; the scan kernel
@@ -212,15 +241,35 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
         rows = pack_affine_rows(points)  # (N, L)
     else:
         rows = points.reshape(N, 2 * L)  # X ‖ Y unpacked per point
+    if use_rows_sort:
+        rows_pm = rows.T  # (L, N) plane-major for the fused sort
+        rows_zero = jnp.all(rows == 0, axis=-1)  # encoded infinities
 
-    def sort_part(d_w):
-        # -- stages 2+3: one two-operand sort, one packed gather -----------
-        key = jnp.abs(d_w).astype(jnp.uint32)
-        payload = jnp.where(d_w < 0, idxN | (1 << _IDX_BITS), idxN)
-        skey, sp = jax.lax.sort((key, payload), num_keys=1)
-        order = sp & ((1 << _IDX_BITS) - 1)
+    # In-VMEM pallas bitonic sorts replace lax.sort (whose TPU lowering
+    # runs every compare-exchange pass through HBM). Not stable, so the
+    # run-end sort packs the index into the key; the digit sort's tie
+    # order only permutes points within a bucket — the summed group
+    # element (and therefore the proof bytes) is unchanged.
+    use_bitonic = use_lm and sort_supported(N)
+
+    def digit_sort(d_grp):
+        # (WP, N) signed digits -> sorted (|d|, sign<<30|index) per window
+        key = jnp.abs(d_grp).astype(jnp.uint32)
+        payload = jnp.where(
+            d_grp < 0, idxN[None] | (1 << _IDX_BITS), idxN[None]
+        ).astype(jnp.uint32)
+        payload = jnp.broadcast_to(payload, key.shape)
+        if use_bitonic:
+            return bitonic_sort((key, payload))
+        return jax.vmap(
+            lambda k, p: jax.lax.sort((k, p), num_keys=1)
+        )(key, payload)
+
+    def sort_part(skey, sp):
+        # -- stage 3: one packed row gather per sorted point ---------------
+        order = (sp & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
         neg_mask = sp >> _IDX_BITS
-        g = jnp.take(rows, order, axis=0)  # ONE row gather per point
+        g = jnp.take(rows, order, axis=0)
         pt_inf = jnp.all(g == 0, axis=-1)
         d = skey.astype(jnp.int32)
         valid = jnp.logical_and(d != 0, jnp.logical_not(pt_inf))
@@ -230,17 +279,56 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
         Y = jnp.where((neg_mask == 1)[:, None], mont.neg(f, Y), Y)
         return X, Y, valid, d
 
-    def compact_part(sX, sY, sZ, d):
-        # -- stage 5a: compact run-end partials. A single-bit stable sort
-        # (ends first, original order kept) yields the end positions — one
-        # bitonic pass on (N,) operands, cheaper than a cumsum + scatter.
-        is_lane_end = (idxN % M) == (M - 1)
-        d_next = jnp.concatenate([d[1:], jnp.full((1,), -1, jnp.int32)])
-        is_end = jnp.logical_or(is_lane_end, d != d_next)
-        n_ends = jnp.sum(is_end.astype(jnp.int32))
+    use_bitonic_ends = use_lm and sort_supported(n_seg)
+
+    def run_end_indices(d_all):
+        # -- stage 5a: compact run-end positions, batched over the
+        # (window, segment) rows. Bitonic path: ONE u32 key (end-flag above
+        # the local index) sorts ends first in stream order — the packed
+        # index restores stability.
+        is_lane_end = (idxS % M) == (M - 1)
+        d_next = jnp.concatenate(
+            [d_all[:, 1:], jnp.full((d_all.shape[0], 1), -1, jnp.int32)],
+            axis=1,
+        )
+        is_end = jnp.logical_or(is_lane_end[None, :], d_all != d_next)
+        n_ends = jnp.sum(is_end.astype(jnp.int32), axis=1)
         notend = jnp.logical_not(is_end).astype(jnp.uint32)
-        _, cidx_full = jax.lax.sort((notend, idxN), num_keys=1)
-        cidx = cidx_full[:K]
+        if use_bitonic_ends:
+            key = (notend << _IDX_BITS) | idxS.astype(jnp.uint32)[None]
+            (skey,) = bitonic_sort((key,))
+            cidx = (skey & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
+        else:
+            _, cidx = jax.vmap(
+                lambda ne: jax.lax.sort((ne, idxS), num_keys=1)
+            )(notend)
+        return cidx[:, :K], n_ends
+
+    def neg_packed_y(y_pm, sign):
+        # y_pm (8, N) u16-packed Montgomery Y planes; sign (WP, N) bool.
+        # Returns (WP, 8, N): p - y where sign (one borrow chain; y < p so
+        # no net borrow; y = 0 maps to p, but those rows are encoded
+        # infinities whose key is 0 — never selected by the scan).
+        limbs = []
+        for j in range(8):
+            v = y_pm[j]
+            limbs.append((v & jnp.uint32(0xFFFF)).astype(jnp.int32))
+            limbs.append((v >> 16).astype(jnp.int32))
+        p_l = [int(v) for v in f.p_limbs]
+        neg = []
+        bw = jnp.zeros_like(limbs[0])
+        for k2 in range(2 * 8):
+            t = jnp.int32(p_l[k2]) - limbs[k2] - bw
+            neg.append(t & jnp.int32(0xFFFF))
+            bw = (t >> 16) & 1
+        nplanes = [
+            (neg[2 * j] | (neg[2 * j + 1] << 16)).astype(jnp.uint32)
+            for j in range(8)
+        ]
+        out = jnp.stack(nplanes)  # (8, N)
+        return jnp.where(sign[:, None, :], out[None], y_pm[None])
+
+    def compact_part(sX, sY, sZ, d, cidx, n_ends):
         dead = idxK >= n_ends
         vd = jnp.where(dead, 0, jnp.take(d, cidx))
         vX = jnp.take(sX, cidx, axis=0)
@@ -268,6 +356,29 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
         bZ = jnp.zeros((NUM_BUCKETS + 1, L), jnp.uint32).at[slot].set(cZ)[:NUM_BUCKETS]
         return bX, bY, bZ
 
+    from ..curves.ec_kernels import ec_add_select as _eas_t
+
+    def tree_sum(T3, m, axis):
+        # pairwise halving over `axis` through the fused complete-add kernel
+        while m > 1:
+            half = m // 2
+            a = tuple(jax.lax.slice_in_dim(t, 0, half, axis=axis) for t in T3)
+            b = tuple(
+                jax.lax.slice_in_dim(t, half, 2 * half, axis=axis) for t in T3
+            )
+            sh = a[0].shape
+            ones = jnp.ones((a[0].size // L,), jnp.uint32)
+            s = _eas_t(
+                spec,
+                tuple(x.reshape(-1, L) for x in a),
+                tuple(x.reshape(-1, L) for x in b),
+                ones,
+                fallback="p",
+            )
+            T3 = tuple(x.reshape(sh) for x in s)
+            m = half
+        return tuple(jnp.squeeze(t, axis=axis) for t in T3)
+
     def group_fn(d_grp):
         # (WP, N) digits -> (WP, NUM_BUCKETS) buckets. The EC-heavy stages
         # run on merged (WP*G) lanes through the fused pallas add kernels.
@@ -286,8 +397,35 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
         # MIXED-add kernel (the sorted stream is affine, Z2 = 1: one fewer
         # multiply, no Z plane in HBM, validity folded into the select).
         one_b = mont.one_mont(f, (1,))[0]
-        if use_lm:
-            Ps, negs, valid, d = jax.vmap(sort_part)(d_grp)  # (WP,N,L) packed
+        if use_rows_sort:
+            # -- fused digit+row sort: no gather anywhere ------------------
+            key = jnp.where(
+                rows_zero[None], jnp.uint32(0),
+                jnp.abs(d_grp).astype(jnp.uint32),
+            )  # 0 = invalid (digit 0 or infinity), matching the scan gate
+            skey, sx = sort_rows_by_key(key, rows_pm[:8], per_window=False)
+            y_neg = neg_packed_y(rows_pm[8:], d_grp < 0)  # (WP, 8, N)
+            _, sy = sort_rows_by_key(key, y_neg, per_window=True)
+            d = skey.astype(jnp.int32)  # (WP, N) sorted |digit|
+            valid = skey != 0
+            Ppm = jnp.concatenate([sx, sy], axis=1)  # (WP, L, N) plane-major
+            Pm = (Ppm.reshape(WP, L, G, M).transpose(3, 1, 0, 2)
+                  .reshape(M, L, B))
+            dm = to_mb(d)
+            sames = jnp.concatenate(
+                [jnp.zeros((1, B), jnp.uint32),
+                 (dm[1:] == dm[:-1]).astype(jnp.uint32)], axis=0
+            )
+            # Y is pre-negated inside the sorted stream: negate-Y mask = 0,
+            # keeping the scan kernel (and its compiled program) unchanged
+            masks = jnp.stack(
+                [sames, to_mb(valid).astype(jnp.uint32),
+                 jnp.zeros((M, B), jnp.uint32)], axis=1
+            )  # (M, 3, B)
+            oX, oY, oZ = ec_madd_scan_full(spec, Pm, masks)
+        elif use_lm:
+            skeys, sps = digit_sort(d_grp)
+            Ps, negs, valid, d = jax.vmap(sort_part)(skeys, sps)  # (WP,N,L)
             Pm = to_mlb(Ps)
             dm = to_mb(d)
             sames = jnp.concatenate(
@@ -302,7 +440,8 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
             # M grid steps (no per-step launch / acc HBM round-trips)
             oX, oY, oZ = ec_madd_scan_full(spec, Pm, masks)
         else:
-            Xs, Ys, valid, d = jax.vmap(sort_part)(d_grp)
+            skeys, sps = digit_sort(d_grp)
+            Xs, Ys, valid, d = jax.vmap(sort_part)(skeys, sps)
             Xm, Ym = to_mlb(Xs), to_mlb(Ys)
             dm = to_mb(d)
             validm = to_mb(valid)
@@ -353,18 +492,29 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
         def from_mlb(A):  # (M, L, B) -> (WP, N, L)
             return A.reshape(M, L, WP, G).transpose(2, 3, 0, 1).reshape(WP, N, L)
 
-        sX = from_mlb(oX)
-        sY = from_mlb(oY)
-        sZ = from_mlb(oZ)
+        # The tail (compact / Hillis-Steele / deposit) works per
+        # (window, segment): each segment is independently digit-sorted, so
+        # same-digit partials are contiguous only WITHIN a segment. WS rows
+        # of n_seg elements; the S bucket tables merge at the end (S = 1
+        # off the rows-sort path — everything below then matches the
+        # original whole-window tail).
+        WS = WP * S
+        sX = from_mlb(oX).reshape(WS, n_seg, L)
+        sY = from_mlb(oY).reshape(WS, n_seg, L)
+        sZ = from_mlb(oZ).reshape(WS, n_seg, L)
+        d_seg = d.reshape(WS, n_seg)
 
-        vX, vY, vZ, vd = jax.vmap(compact_part)(sX, sY, sZ, d)  # (WP, K, ...)
+        cidx_all, n_ends_all = run_end_indices(d_seg)
+        vX, vY, vZ, vd = jax.vmap(compact_part)(
+            sX, sY, sZ, d_seg, cidx_all, n_ends_all
+        )  # (WS, K, ...)
 
         # -- stage 5b: segmented Hillis-Steele on merged lanes (limb-major:
         # one layout transpose total instead of nine per level). Same-digit
         # entries are CONTIGUOUS in the compact array and a digit has at
         # most one partial per lane it spans, so ceil(log2(G)) levels close
         # every group — not log2(K).
-        BK = WP * K
+        BK = WS * K
         from ..curves.ec_kernels import _fold_sub
 
         use_lm_hs = (
@@ -372,17 +522,38 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
             and _fold_sub(BK) > 0
             and jax.default_backend() == "tpu"
         )
-        cX = vX.transpose(2, 0, 1)  # (L, WP, K)
+        cX = vX.transpose(2, 0, 1)  # (L, WS, K)
         cY = vY.transpose(2, 0, 1)
         cZ = vZ.transpose(2, 0, 1)
-        padc = jnp.zeros((L, WP, K), jnp.uint32)
-        pad1 = jnp.broadcast_to(one_b[:, None, None], (L, WP, K))
-        padd = jnp.zeros((WP, K), jnp.int32)
+        padc = jnp.zeros((L, WS, K), jnp.uint32)
+        pad1 = jnp.broadcast_to(one_b[:, None, None], (L, WS, K))
+        padd = jnp.zeros((WS, K), jnp.int32)
         idxK2 = jnp.arange(K, dtype=jnp.int32)
-        n_levels = max(min((K - 1).bit_length(), (G - 1).bit_length()), 1)
+        n_levels = max(min((K - 1).bit_length(), (G_seg - 1).bit_length()), 1)
+        # Levels actually needed: ceil(log2(longest same-digit run)). A
+        # digit has one compact partial per lane it spanned, so typical
+        # runs are 1-2 entries (N/NUM_BUCKETS points per bucket vs M per
+        # lane) and 2 levels close every group; the static n_levels bound
+        # only materialises for adversarial scalar distributions. Levels
+        # with shift >= the longest run are exact no-ops (no pair passes
+        # the pds == vd gate), so gating the loop on the measured run
+        # length is RESULT-identical — proofs do not change.
+        nz = vd != 0
+        change = jnp.concatenate(
+            [jnp.ones((WS, 1), jnp.bool_), vd[:, 1:] != vd[:, :-1]], axis=1
+        )
+        run_start = jnp.logical_or(change, jnp.logical_not(nz))
+        pos = jnp.broadcast_to(idxK2[None, :], (WS, K))
+        start_pos = jax.lax.cummax(jnp.where(run_start, pos, 0), axis=1)
+        max_run = jnp.max(jnp.where(nz, pos - start_pos + 1, 0))
+        lvl_needed = jnp.sum(
+            (max_run > (1 << jnp.arange(n_levels, dtype=jnp.int32))).astype(
+                jnp.int32
+            )
+        )
 
-        def level(s, carry):
-            cX, cY, cZ = carry
+        def level(carry):
+            s, cX, cY, cZ = carry
             shift = jnp.left_shift(jnp.int32(1), s)
             start = K - shift
 
@@ -412,11 +583,20 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
                     fallback="p",
                 )
                 new = tuple(c.T for c in rm)
-            return tuple(c.reshape(L, WP, K) for c in new)
+            return (s + 1,) + tuple(c.reshape(L, WS, K) for c in new)
 
-        cX, cY, cZ = jax.lax.fori_loop(0, n_levels, level, (cX, cY, cZ))
+        _, cX, cY, cZ = jax.lax.while_loop(
+            lambda c: c[0] < lvl_needed, level, (jnp.int32(0), cX, cY, cZ)
+        )
         cX, cY, cZ = (c.transpose(1, 2, 0) for c in (cX, cY, cZ))
-        return jax.vmap(deposit_part)(cX, cY, cZ, vd)
+        tX, tY, tZ = jax.vmap(deposit_part)(cX, cY, cZ, vd)  # (WS, NB, L)
+        if S > 1:
+            # EC-add the S per-segment bucket tables of every window
+            T3 = tuple(
+                t.reshape(WP, S, NUM_BUCKETS, L) for t in (tX, tY, tZ)
+            )
+            tX, tY, tZ = tree_sum(T3, S, axis=1)
+        return tX, tY, tZ
 
     dgroups = digits.reshape(NUM_WINDOWS // WP, WP, N)
     bX, bY, bZ = jax.lax.map(group_fn, dgroups)
@@ -436,27 +616,6 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
     HSPLIT = (WINDOW_BITS - 1) // 2
     lo_n = 1 << HSPLIT
     hi_n = NUM_BUCKETS >> HSPLIT
-
-    def tree_sum(T3, m, axis):
-        # pairwise halving over `axis` through the fused complete-add kernel
-        while m > 1:
-            half = m // 2
-            a = tuple(jax.lax.slice_in_dim(t, 0, half, axis=axis) for t in T3)
-            b = tuple(
-                jax.lax.slice_in_dim(t, half, 2 * half, axis=axis) for t in T3
-            )
-            sh = a[0].shape
-            ones = jnp.ones((a[0].size // L,), jnp.uint32)
-            s = _eas(
-                spec,
-                tuple(x.reshape(-1, L) for x in a),
-                tuple(x.reshape(-1, L) for x in b),
-                ones,
-                fallback="p",
-            )
-            T3 = tuple(x.reshape(sh) for x in s)
-            m = half
-        return tuple(jnp.squeeze(t, axis=axis) for t in T3)
 
     def suffix_scan(T3, m):
         # Hillis-Steele suffix sums along axis 1 of (W, m, L) coords

@@ -203,14 +203,16 @@ def _use_r12() -> bool:
             and os.environ.get("ZKDCAP_NTT_R12", "1") != "0")
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int,
-                   r12: bool = False):
+                   r12: bool = False, cgA: bool = False, cgB: bool = False):
     """at: (L, n) limb-major natural order -> (L, n) transformed.
 
     Both bit-reversals happen IN VMEM inside the fused kernels (5 lane-roll
     pair swaps each — no 2x full-array HBM gathers), and the inter-pass
-    twiddle multiply rides pass A's epilogue (no separate kernel launch)."""
+    twiddle multiply rides pass A's epilogue (no separate kernel launch).
+    cgA/cgB select the constant-geometry kernel (half-width twiddle muls)
+    for the respective pass; outputs are bit-identical either way."""
     from ..fields.pallas_mont import _fused_pass_call
 
     n = 1 << log_n
@@ -219,9 +221,6 @@ def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int,
     interpret = jax.default_backend() != "tpu"
     L = NUM_LIMBS
 
-    tw1, hi1 = passA
-    tw2, hi2 = passB
-
     # pass A: size-N1 NTT over i for each column j (+ inter-pass twiddles,
     # which include the 1/n scale when inverse)
     A = at.reshape(L, N1, N2)
@@ -229,11 +228,12 @@ def _four_step_run(params: FieldParams, at, tw, passA, passB, log_n: int,
     flat = At.reshape(L, n)
     flat = _fused_pass_call(params, log_n1, n, interpret,
                             bitrev_in=True, post_mul=True,
-                            r12=r12)(flat, tw1, hi1, tw)
+                            r12=r12, cg=cgA)(flat, *passA, tw)
     # pass B: size-N2 NTT over j for each row k1
     B = jnp.swapaxes(flat.reshape(L, N2, N1), 1, 2)  # (L, N1, N2)
     flat = _fused_pass_call(params, log_n2, n, interpret,
-                            bitrev_in=True, r12=r12)(B.reshape(L, n), tw2, hi2)
+                            bitrev_in=True, r12=r12,
+                            cg=cgB)(B.reshape(L, n), *passB)
     # natural order: out[k1 + N1*k2] = D[k1, k2]
     D = flat.reshape(L, N1, N2)
     return jnp.swapaxes(D, 1, 2).reshape(L, n)
@@ -267,19 +267,31 @@ def ntt_four_step(params: FieldParams, a: jax.Array, inverse: bool = False) -> j
     scale is already folded in (full intt equivalence)."""
     from ..fields.pallas_mont import fused_pass_tables, fused_pass_tables12
 
+    import os
+
     n = a.shape[0]
     log_n = n.bit_length() - 1
     log_n1, log_n2 = _four_step_split(log_n)
     r12 = _use_r12()
+    # constant-geometry kernels need every span >= one lane tile inside
+    # 4-stage groups: pass sizes >= 2^10 qualify (2^22/2^20 fully, 2^19's
+    # B pass only)
+    use_cg = r12 and os.environ.get("ZKDCAP_NTT_CG", "1") != "0"
+    cgA = use_cg and log_n1 >= 10
+    cgB = use_cg and log_n2 >= 10
     if r12:
+        from ..fields.pallas_mont import fused_cg_tables12
+
         tw = _four_step_twiddles12(params, log_n, inverse)
-        passA = fused_pass_tables12(params, log_n1, inverse)
-        passB = fused_pass_tables12(params, log_n2, inverse)
+        passA = ((fused_cg_tables12(params, log_n1, inverse),) if cgA
+                 else fused_pass_tables12(params, log_n1, inverse))
+        passB = ((fused_cg_tables12(params, log_n2, inverse),) if cgB
+                 else fused_pass_tables12(params, log_n2, inverse))
     else:
         tw = _four_step_twiddles(params, log_n, inverse)
         passA = fused_pass_tables(params, log_n1, inverse)
         passB = fused_pass_tables(params, log_n2, inverse)
-    out = _four_step_run(params, a.T, tw, passA, passB, log_n, r12)
+    out = _four_step_run(params, a.T, tw, passA, passB, log_n, r12, cgA, cgB)
     return out.T
 
 
