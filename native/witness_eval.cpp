@@ -700,6 +700,10 @@ int witness_eval(int64_t n_nodes, const int64_t *op, const int64_t *aa,
   // 3.1 s): 74% of the 5.2M nodes sit in 44k narrow levels (median 36
   // nodes), so the reordering trashes cache locality for a <=1.24x
   // Amdahl ceiling. Kept for DAGs with genuinely wide level profiles.
+  // Determinism: soaked (12 fresh P-256 inputs x repeated threaded +
+  // single-threaded replays, byte-identical) — each node writes once and
+  // reads only earlier levels, so schedule order cannot change values;
+  // staying sequential by default is purely the locality result above.
   bool parallel_ok = false;
   {
     const char *tenv = std::getenv("ZKDCAP_WITNESS_THREADS");

@@ -677,20 +677,28 @@ def _cg_schedule(S: int):
     # final into index-bit transpositions (each realised in VMEM as two
     # rolls + select) and VERIFY the sequence numerically.
     fbits = [S - 1 - pi[lb] for lb in range(S)]  # final's bit source map
+    return groups, tables, _swaps_for_bitmap(tuple(fbits))
+
+
+@functools.cache
+def _swaps_for_bitmap(fbits: tuple[int, ...]):
+    """Index-bit-swap sequence realising out[k] = in[F(k)] with
+    F(k) = sum_lb bit_{fbits[lb]}(k) << lb, verified numerically. The
+    kernel applies y[l] = x[tau(l)] per swap in order, so the net map is
+    tau_first(tau_second(...))."""
+    S = len(fbits)
+    n = 1 << S
 
     def apply_final(q: int) -> int:
         return sum(((q >> fbits[lb]) & 1) << lb for lb in range(S))
 
     def apply_swap_seq(swaps_, q: int) -> int:
-        # the kernel applies y[l] = x[tau(l)] for each swap in order, so
-        # the net index map is tau_first(tau_second(...(l)))
         for a, b in reversed(swaps_):
             ba, bb = (q >> a) & 1, (q >> b) & 1
             q = q & ~((1 << a) | (1 << b)) | (ba << b) | (bb << a)
         return q
 
-    # greedy decomposition of the bit permutation i -> position of bit i
-    perm = list(fbits)  # final reads source bit perm[lb] into output bit lb
+    perm = list(fbits)
     swaps = []
     cur = list(range(S))
     for lb in range(S):
@@ -702,8 +710,8 @@ def _cg_schedule(S: int):
     for order in (swaps, list(reversed(swaps))):
         if all(apply_swap_seq(order, q) == apply_final(q)
                for q in range(min(n, 4096))):
-            return groups, tables, order
-    raise AssertionError("CG final-permutation decomposition failed")
+            return order
+    raise AssertionError("bit-permutation decomposition failed")
 
 
 def _lane_bit_swap(x_planes, a: int, b: int, chunk: int):
@@ -735,8 +743,7 @@ def _mk_cg_pass_kernel_r12(params: FieldParams, n_stages: int, chunk: int,
 
     L12 = r12m.L12
     S = n_stages
-    groups, _, sigma = _cg_schedule(S)
-    swaps = _perm_to_swaps(sigma)
+    groups, _, swaps = _cg_schedule(S)
     nblk = chunk >> S  # independent transforms per chunk
 
     def kernel(x_ref, tw_ref, *rest):
@@ -774,12 +781,14 @@ def _mk_cg_pass_kernel_r12(params: FieldParams, n_stages: int, chunk: int,
                 ]
                 ti += 1
             if gi != len(groups) - 1:
-                # rho^g block interleave within each 2^S-aligned group
-                x = [
-                    v.reshape(sub, nblk, 1 << g, 1 << (S - g))
-                    .swapaxes(2, 3).reshape(sub, chunk)
-                    for v in x
-                ]
+                # rho^g block interleave within each 2^S-aligned group:
+                # out[k] = in[rotr_g(k)] — an index-bit rotation, realised
+                # as lane-bit pair swaps (Mosaic rejects the equivalent
+                # minor-dim-2^g swapaxes as an unsupported shape cast)
+                for a, b in _swaps_for_bitmap(
+                    tuple((lb + g) % S for lb in range(S))
+                ):
+                    x = _lane_bit_swap(x, a, b, chunk)
 
         for a, b in swaps:
             lo_b, hi_b = min(a, b), max(a, b)

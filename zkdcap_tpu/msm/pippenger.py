@@ -225,7 +225,7 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
     use_rows_sort = (
         use_lm and sort_supported(min(N, ROWS_SORT_SEG), n_ops=9)
         and N % min(N, ROWS_SORT_SEG) == 0 and G % S == 0 and G // S >= 1
-        and _os.environ.get("ZKDCAP_MSM_ROWSORT", "1") != "0"
+        and _os.environ.get("ZKDCAP_MSM_ROWSORT", "0") == "1"
     )
     if not use_rows_sort:
         S = 1
@@ -250,7 +250,15 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
     # run-end sort packs the index into the key; the digit sort's tie
     # order only permutes points within a bucket — the summed group
     # element (and therefore the proof bytes) is unchanged.
-    use_bitonic = use_lm and sort_supported(N)
+    # Bitonic sorts / fused rows-sort: measured on v5e, the in-VMEM
+    # bitonic kernel runs ~10x below its op-count estimate (sublane-axis
+    # exchanges lower to expensive relayouts; sub-8-row rotates worst) and
+    # Mosaic compiles of the 200-stage kernels take 25+ minutes per shape,
+    # so both stay OPT-IN experiments (ZKDCAP_MSM_BITONIC=1 /
+    # ZKDCAP_MSM_ROWSORT=1). The production path keeps lax.sort + the
+    # packed-row gather; the while-bounded HS and cheap-b3 wins stand.
+    bitonic_ok = _os.environ.get("ZKDCAP_MSM_BITONIC", "0") == "1"
+    use_bitonic = use_lm and sort_supported(N) and bitonic_ok
 
     def digit_sort(d_grp):
         # (WP, N) signed digits -> sorted (|d|, sign<<30|index) per window
@@ -279,7 +287,7 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
         Y = jnp.where((neg_mask == 1)[:, None], mont.neg(f, Y), Y)
         return X, Y, valid, d
 
-    use_bitonic_ends = use_lm and sort_supported(n_seg)
+    use_bitonic_ends = use_lm and sort_supported(n_seg) and bitonic_ok
 
     def run_end_indices(d_all):
         # -- stage 5a: compact run-end positions, batched over the
@@ -585,9 +593,19 @@ def msm_device(spec: CurveSpec, points: jax.Array, scalars_std: jax.Array,
                 new = tuple(c.T for c in rm)
             return (s + 1,) + tuple(c.reshape(L, WS, K) for c in new)
 
-        _, cX, cY, cZ = jax.lax.while_loop(
-            lambda c: c[0] < lvl_needed, level, (jnp.int32(0), cX, cY, cZ)
-        )
+        if (jax.default_backend() == "tpu"
+                and _os.environ.get("ZKDCAP_MSM_WHILE_HS", "1") != "0"):
+            _, cX, cY, cZ = jax.lax.while_loop(
+                lambda c: c[0] < lvl_needed, level, (jnp.int32(0), cX, cY, cZ)
+            )
+        else:
+            # while_loop explodes XLA:CPU compile time on the multi-device
+            # mesh path (observed 70+ min for the 8-virtual-device suite
+            # test); the static-level fori compiles fine and the extra
+            # levels are exact no-ops, so results are identical.
+            _, cX, cY, cZ = jax.lax.fori_loop(
+                0, n_levels, lambda i, c: level(c), (jnp.int32(0), cX, cY, cZ)
+            )
         cX, cY, cZ = (c.transpose(1, 2, 0) for c in (cX, cY, cZ))
         tX, tY, tZ = jax.vmap(deposit_part)(cX, cY, cZ, vd)  # (WS, NB, L)
         if S > 1:

@@ -39,21 +39,6 @@ LANE = 128
 LOG_LANE = 7
 
 
-def _partner(v, d: int, rows: int, bit_mask):
-    """Partner values pv[j] = v[j ^ d] for flat index j over (rows, LANE).
-
-    bit_mask: bool (rows, LANE), True where bit_d of the flat index is 0
-    (i.e. the partner sits at j + d)."""
-    if d < LANE:
-        up = pltpu.roll(v, LANE - d, 1)  # lane j <- v[j + d]
-        dn = pltpu.roll(v, d, 1)  # lane j <- v[j - d]
-    else:
-        rd = d // LANE
-        up = pltpu.roll(v, rows - rd, 0)  # row r <- v[r + rd]
-        dn = pltpu.roll(v, rd, 0)
-    return jnp.where(bit_mask, up, dn)
-
-
 def _mk_sort_kernel(log_n: int, n_ops: int):
     n = 1 << log_n
     rows = n // LANE
@@ -65,33 +50,50 @@ def _mk_sort_kernel(log_n: int, n_ops: int):
         row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
 
+        def exchange(vs, is_lower, asc, partner):
+            pk = partner(vs[0])
+            want_min = is_lower == asc
+            k0 = vs[0]
+            # deterministic tie rule: equal keys never swap. The selected
+            # operands stay u32 (Mosaic rejects select over i1 vectors:
+            # "unsupported target bitwidth for truncation").
+            lt = (pk < k0).astype(jnp.uint32)
+            gt = (pk > k0).astype(jnp.uint32)
+            take = jnp.where(want_min, lt, gt) > 0
+            new = [jnp.where(take, pk, k0)]
+            for v in vs[1:]:
+                new.append(jnp.where(take, partner(v), v))
+            return new
+
         for k in range(1, log_n + 1):
             # ascending blocks where bit k of the flat index is 0
             if k < LOG_LANE:
-                asc = (lane_i >> k) & 1
+                asc = ((lane_i >> k) & 1) == 0
             else:
-                asc = (row_i >> (k - LOG_LANE)) & 1
-            asc = asc == 0
+                asc = ((row_i >> (k - LOG_LANE)) & 1) == 0
             for dl in range(k - 1, -1, -1):
                 d = 1 << dl
                 if d < LANE:
                     is_lower = ((lane_i >> dl) & 1) == 0
+
+                    def partner(v, d=d, is_lower=is_lower):
+                        up = pltpu.roll(v, LANE - d, 1)
+                        dn = pltpu.roll(v, d, 1)
+                        return jnp.where(is_lower, up, dn)
                 else:
+                    # Row-regime pass: the partner lives rd rows away.
+                    # Static slice+concat rotates — sublane-axis
+                    # pltpu.roll is what hung the Mosaic remote compiles.
+                    rd = d // LANE
                     is_lower = ((row_i >> (dl - LOG_LANE)) & 1) == 0
-                pk = _partner(vs[0], d, rows, is_lower)
-                want_min = is_lower == asc
-                k0 = vs[0]
-                # deterministic tie rule: equal keys never swap. The
-                # selected operands stay u32 (Mosaic rejects select over
-                # i1 vectors: "unsupported target bitwidth for truncation").
-                lt = (pk < k0).astype(jnp.uint32)
-                gt = (pk > k0).astype(jnp.uint32)
-                take = jnp.where(want_min, lt, gt) > 0
-                new = [jnp.where(take, pk, k0)]
-                for v in vs[1:]:
-                    pv = _partner(v, d, rows, is_lower)
-                    new.append(jnp.where(take, pv, v))
-                vs = new
+
+                    def partner(v, rd=rd, is_lower=is_lower):
+                        up = jnp.concatenate([v[rd:], v[:rd]], axis=0)
+                        dn = jnp.concatenate([v[rows - rd:], v[:rows - rd]],
+                                             axis=0)
+                        return jnp.where(is_lower, up, dn)
+
+                vs = exchange(vs, is_lower, asc, partner)
 
         for o, v in zip(outs, vs):
             o[...] = v
