@@ -6,8 +6,11 @@ speed-of-light model of the chip so regressions and headroom are machine-
 visible instead of hand-derived. Emits a human table to stderr and one
 JSON object per kernel to stdout (and the zkdcap_tpu.metrics registry).
 
-Model constants are for TPU v5e (per chip): HBM ~819 GB/s, VPU int32
-~ 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz. Override via env
+Model constants are for TPU v5e (per chip): HBM ~819 GB/s. The VPU rate
+default was recalibrated in round 5 from on-chip kernel splits (one CG
+NTT pass sustains ~1.0e12 u32 op/s; see BENCH.md "Speed-of-light model
+recalibrated"): the nominal 8x128x4x0.94 GHz figure overstates effective
+integer throughput on these kernels by ~4x. Override via env
 ZKDCAP_HBM_GBPS / ZKDCAP_VPU_GOPS for other parts.
 """
 
@@ -31,7 +34,9 @@ from zkdcap_tpu.fields import BN254_FR, mont
 from zkdcap_tpu.fields.params import NUM_LIMBS
 
 HBM_GBPS = float(os.environ.get("ZKDCAP_HBM_GBPS", 819.0))
-VPU_GOPS = float(os.environ.get("ZKDCAP_VPU_GOPS", 8 * 128 * 4 * 0.94))
+# measured-effective u32 rate (round-5 recalibration), not the nominal
+# 8 * 128 * 4 * 0.94 GHz ~ 3.8e3 GOPS
+VPU_GOPS = float(os.environ.get("ZKDCAP_VPU_GOPS", 1000.0))
 
 # op-count model (per element): 16x16-limb CIOS ~= 1.1k int32 VPU ops
 CIOS_OPS = 1100.0
