@@ -43,7 +43,10 @@ CIOS_OPS = 1100.0
 
 
 def force(x):
-    return np.asarray(jax.device_get(x))
+    # pull ONE element, not the full array: device_get of a 2^22-limb
+    # result would time the axon tunnel (~GB/s), not the kernel
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
 
 def timeit(fn, *args, iters=3):
@@ -85,8 +88,10 @@ def bench_ntt(log_n=22):
     rng = np.random.default_rng(1)
     a = jnp.asarray(rng.integers(0, 1 << 16, (n, NUM_LIMBS), dtype=np.uint32))
     a = a.at[:, NUM_LIMBS - 1].set(0)
-    f = jax.jit(lambda x: ntt(BN254_FR, x).sum(dtype=jnp.uint32))
-    s = timeit(f, a)
+    # call the public ntt() unwrapped (it jits internally): an outer jit
+    # re-traces the four-step into one fused program whose layouts XLA
+    # chooses differently (measured 3x slower than the production path)
+    s = timeit(lambda x: ntt(BN254_FR, x), a)
     muls = n // 2 * log_n
     nbytes = 2 * 2 * n * NUM_LIMBS * 4  # two fused passes, r+w each
     sol = max(muls * CIOS_OPS / (VPU_GOPS * 1e9), nbytes / (HBM_GBPS * 1e9))
@@ -110,18 +115,17 @@ def bench_msm(log_n=20):
     scal = jnp.asarray(rng.integers(0, 1 << 16, (n, NUM_LIMBS), dtype=np.uint32))
     scal = scal.at[:, NUM_LIMBS - 1].set(0)
 
-    def f(p, s):
-        X, Y, Z = msm_device(G1_SPEC, p, s, min(16384, n))
-        return X.sum(dtype=jnp.uint32) + Y.sum(dtype=jnp.uint32)
-
-    s = timeit(jax.jit(f), pts, scal)
+    # msm_device is jitted itself; calling it unwrapped reuses the exact
+    # production program (an outer jit would re-fuse and recompile)
+    s = timeit(lambda p, sc: msm_device(G1_SPEC, p, sc, min(16384, n)),
+               pts, scal)
     adds = n * NUM_WINDOWS
     # compute floor: W mixed adds/point at 13 CIOS muls; memory floor: one
     # 64 B packed row gather per (point, window)
     sol = max(adds * 13 * CIOS_OPS / (VPU_GOPS * 1e9),
               adds * 64 / (HBM_GBPS * 1e9))
     report(f"msm_2^{log_n}", s, n, adds * 64, sol,
-           note=f"{n/s:,.0f} pts/s, W={cfg.windows}x{cfg.bits}b")
+           note=f"{n/s:,.0f} pts/s, {NUM_WINDOWS} windows")
 
 
 if __name__ == "__main__":
