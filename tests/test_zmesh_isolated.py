@@ -31,7 +31,7 @@ def test_mesh_file_isolated(fname):
         # compile that cannot use the persistent cache (see module
         # docstring); on few-core hosts (4-core VM observed 2026-08-21,
         # round-4 code included) it alone takes ~1.5 h, so give it room
-        timeout=7200 if fname == "test_mesh_real_circuit.py" else 1800,
+        timeout=10800 if fname == "test_mesh_real_circuit.py" else 1800,
         cwd=os.path.join(_HERE, ".."), env=env,
     )
     assert res.returncode == 0, (
